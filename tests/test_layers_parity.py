@@ -1,0 +1,223 @@
+"""Numerical parity of building-block layers vs torch CPU references.
+
+These tests copy *weights from torch modules we construct in the test* into
+our flax params and assert forward-pass agreement — validating padding
+conventions, transposed-conv semantics, weight/spectral-norm reparam and GRU
+gate math against the exact torch ops the reference uses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from wavthruvec_pytorch_tpu.models.layers import (
+    BiGRU,
+    Conv1d,
+    SpectralNormConv1d,
+    SpectralNormDense,
+    WNConv1d,
+    WNConv2d,
+    WNConvTranspose1d,
+)
+
+ATOL = 2e-5
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def test_conv1d_matches_torch():
+    torch.manual_seed(0)
+    tconv = tnn.Conv1d(8, 16, kernel_size=9, padding=4, dilation=1)
+    x = torch.randn(2, 8, 30)
+    expected = _np(tconv(x)).transpose(0, 2, 1)  # -> [B, T, C]
+
+    m = Conv1d(16, kernel_size=9, padding=4)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    params = m.init(jax.random.PRNGKey(0), xj)
+    # torch weight [out, in, k] -> flax kernel [k, in, out]
+    params = jax.tree_util.tree_map(lambda p: p, params)
+    params["params"]["Conv_0"]["kernel"] = jnp.asarray(
+        _np(tconv.weight).transpose(2, 1, 0)
+    )
+    params["params"]["Conv_0"]["bias"] = jnp.asarray(_np(tconv.bias))
+    got = np.asarray(m.apply(params, xj))
+    np.testing.assert_allclose(got, expected, atol=ATOL)
+
+
+def test_grouped_strided_conv1d_matches_torch():
+    torch.manual_seed(1)
+    tconv = tnn.Conv1d(16, 32, kernel_size=41, stride=4, padding=20, groups=4)
+    x = torch.randn(2, 16, 100)
+    expected = _np(tconv(x)).transpose(0, 2, 1)
+
+    m = Conv1d(32, kernel_size=41, stride=4, padding=20, groups=4)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    params = m.init(jax.random.PRNGKey(0), xj)
+    params["params"]["Conv_0"]["kernel"] = jnp.asarray(
+        _np(tconv.weight).transpose(2, 1, 0)
+    )
+    params["params"]["Conv_0"]["bias"] = jnp.asarray(_np(tconv.bias))
+    got = np.asarray(m.apply(params, xj))
+    np.testing.assert_allclose(got, expected, atol=ATOL)
+
+
+def test_weightnorm_conv1d_matches_torch():
+    torch.manual_seed(2)
+    tconv = tnn.utils.weight_norm(tnn.Conv1d(4, 6, kernel_size=3, padding=2, dilation=2))
+    x = torch.randn(2, 4, 20)
+    expected = _np(tconv(x)).transpose(0, 2, 1)
+
+    m = WNConv1d(6, kernel_size=3, padding=2, dilation=2)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    params = m.init(jax.random.PRNGKey(0), xj)
+    # torch v [out, in, k] / g [out, 1, 1]
+    params["params"]["v"] = jnp.asarray(_np(tconv.weight_v).transpose(2, 1, 0))
+    params["params"]["g"] = jnp.asarray(_np(tconv.weight_g).transpose(2, 1, 0))
+    params["params"]["bias"] = jnp.asarray(_np(tconv.bias))
+    got = np.asarray(m.apply(params, xj))
+    np.testing.assert_allclose(got, expected, atol=ATOL)
+
+
+def test_weightnorm_convtranspose1d_matches_torch():
+    """The upsampler core: ConvTranspose1d(k, u, padding=(k-u)//2)."""
+    for (cin, cout, k, u) in [(8, 4, 11, 5), (8, 4, 8, 4), (6, 3, 4, 2)]:
+        torch.manual_seed(3)
+        tconv = tnn.utils.weight_norm(
+            tnn.ConvTranspose1d(cin, cout, k, u, padding=(k - u) // 2)
+        )
+        x = torch.randn(2, cin, 17)
+        expected = _np(tconv(x)).transpose(0, 2, 1)
+        assert expected.shape[1] == 17 * u  # exact x-u upsampling
+
+        m = WNConvTranspose1d(cout, kernel_size=k, stride=u, padding=(k - u) // 2)
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+        params = m.init(jax.random.PRNGKey(0), xj)
+        # torch ConvTranspose weight_v [in, out, k] -> flax (k, in, out)
+        params["params"]["v"] = jnp.asarray(_np(tconv.weight_v).transpose(2, 0, 1))
+        params["params"]["g"] = jnp.asarray(_np(tconv.weight_g).transpose(2, 0, 1))
+        params["params"]["bias"] = jnp.asarray(_np(tconv.bias))
+        got = np.asarray(m.apply(params, xj))
+        np.testing.assert_allclose(got, expected, atol=ATOL)
+
+
+def test_weightnorm_conv2d_matches_torch():
+    torch.manual_seed(4)
+    tconv = tnn.utils.weight_norm(tnn.Conv2d(1, 8, (5, 1), (3, 1), padding=(2, 0)))
+    x = torch.randn(2, 1, 30, 13)
+    expected = _np(tconv(x)).transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+    m = WNConv2d(8, kernel_size=(5, 1), strides=(3, 1), padding=(2, 0))
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    params = m.init(jax.random.PRNGKey(0), xj)
+    params["params"]["v"] = jnp.asarray(_np(tconv.weight_v).transpose(2, 3, 1, 0))
+    params["params"]["g"] = jnp.asarray(_np(tconv.weight_g).transpose(2, 3, 1, 0))
+    params["params"]["bias"] = jnp.asarray(_np(tconv.bias))
+    got = np.asarray(m.apply(params, xj))
+    np.testing.assert_allclose(got, expected, atol=ATOL)
+
+
+def test_spectral_norm_dense_matches_torch():
+    torch.manual_seed(5)
+    tlin = tnn.utils.spectral_norm(tnn.Linear(12, 10))
+    x = torch.randn(4, 12)
+
+    m = SpectralNormDense(10)
+    xj = jnp.asarray(x.numpy())
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    params = variables["params"]
+    params["kernel"] = jnp.asarray(_np(tlin.weight_orig).T)
+    params["bias"] = jnp.asarray(_np(tlin.bias))
+    # .copy(): jnp.asarray can alias the torch buffer on CPU and torch's
+    # forward mutates weight_u in place.
+    spectral = {"u": jnp.asarray(_np(tlin.weight_u).copy())}
+
+    # torch updates u in-place on each training forward; run both once and
+    # compare outputs + updated u.
+    expected = _np(tlin(x))
+    got, mutated = m.apply(
+        {"params": params, "spectral": spectral},
+        xj,
+        mutable=["spectral"],
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mutated["spectral"]["u"]),
+        _np(tlin.weight_u),
+        atol=1e-4,
+    )
+
+
+def test_spectral_norm_conv_matches_torch():
+    torch.manual_seed(6)
+    tconv = tnn.utils.spectral_norm(tnn.Conv1d(4, 8, 15, 1, padding=7))
+    x = torch.randn(2, 4, 50)
+
+    m = SpectralNormConv1d(8, kernel_size=15, stride=1, padding=7)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    params = variables["params"]
+    params["kernel"] = jnp.asarray(_np(tconv.weight_orig).transpose(2, 1, 0))
+    params["bias"] = jnp.asarray(_np(tconv.bias))
+    spectral = {"u": jnp.asarray(_np(tconv.weight_u).copy())}
+
+    expected = _np(tconv(x)).transpose(0, 2, 1)
+    got, _ = m.apply(
+        {"params": params, "spectral": spectral}, xj, mutable=["spectral"]
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_bigru_matches_torch():
+    torch.manual_seed(7)
+    H, C = 6, 5
+    tgru = tnn.GRU(C, H, 1, batch_first=True, bidirectional=True)
+    x = torch.randn(3, 11, C)
+    expected, _ = tgru(x)
+    expected = _np(expected)
+
+    m = BiGRU(H)
+    xj = jnp.asarray(x.numpy())
+    params = m.init(jax.random.PRNGKey(0), xj)["params"]
+    # torch weight_ih_l0: [3H, C] (r|z|n) -> ours (C, 3H)
+    params["fwd_w_ih"] = jnp.asarray(_np(tgru.weight_ih_l0).T)
+    params["fwd_w_hh"] = jnp.asarray(_np(tgru.weight_hh_l0).T)
+    params["fwd_b_ih"] = jnp.asarray(_np(tgru.bias_ih_l0))
+    params["fwd_b_hh"] = jnp.asarray(_np(tgru.bias_hh_l0))
+    params["bwd_w_ih"] = jnp.asarray(_np(tgru.weight_ih_l0_reverse).T)
+    params["bwd_w_hh"] = jnp.asarray(_np(tgru.weight_hh_l0_reverse).T)
+    params["bwd_b_ih"] = jnp.asarray(_np(tgru.bias_ih_l0_reverse))
+    params["bwd_b_hh"] = jnp.asarray(_np(tgru.bias_hh_l0_reverse))
+    got = np.asarray(m.apply({"params": params}, xj))
+    np.testing.assert_allclose(got, expected, atol=ATOL)
+
+
+def test_batchnorm_matches_torch_train_and_eval():
+    torch.manual_seed(8)
+    from wavthruvec_pytorch_tpu.models.layers import BatchNorm
+
+    tbn = tnn.BatchNorm1d(5)
+    x = torch.randn(4, 5, 9)  # [B, C, T]
+    tbn.train()
+    expected_train = _np(tbn(x)).transpose(0, 2, 1)
+
+    m = BatchNorm(use_running_average=False)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    got, mutated = m.apply(variables, xj, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), expected_train, atol=1e-5)
+    # running stats after one step match torch's (momentum 0.1)
+    bs = mutated["batch_stats"]["BatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(bs["mean"]), _np(tbn.running_mean), atol=1e-5
+    )
+    # torch running_var uses the *unbiased* batch var; flax uses biased.
+    n = 4 * 9
+    np.testing.assert_allclose(
+        np.asarray(bs["var"]) * 1.0,
+        ((_np(tbn.running_var) - 0.9) * (n - 1) / n) + 0.9,
+        atol=1e-5,
+    )

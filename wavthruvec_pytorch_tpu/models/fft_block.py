@@ -1,0 +1,170 @@
+"""Feed-Forward Transformer (FFT) block: multi-head self-attention + conv FFN.
+
+Reference: text2vec/subLayer.py:34-174.  The reference materializes per-head
+batches with permute/view + bmm; here attention is a pair of einsums XLA
+fuses onto the MXU.  Semantics preserved:
+
+* q/k/v projections N(0, sqrt(2/(d_model+d_k))) (subLayer.py:70-75);
+* scaled dot-product with 1/sqrt(d_k), key-pad mask -> -inf, softmax over
+  keys, attention dropout 0.1 (subLayer.py:43-55);
+* output proj xavier_normal, dropout, LayerNorm(x + residual);
+* FFN = Conv1d(k=9, pad=4) -> ReLU -> Conv1d(k=1) -> dropout ->
+  LayerNorm(x + residual) (subLayer.py:121-146);
+* non-pad mask multiplied in after each sublayer (subLayer.py:166-174).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wavthruvec_pytorch_tpu.models.layers import (
+    Conv1d,
+    LayerNorm,
+    normal_init,
+    torch_default_bias_init,
+)
+
+_MASK_VALUE = -1e9
+
+
+def xavier_normal(gain: float = 1.0):
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[-2], shape[-1]
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class MultiHeadAttention(nn.Module):
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, T, _ = x.shape
+        residual = x
+        qkv_std = math.sqrt(2.0 / (self.d_model + self.d_k))
+
+        def proj(name, d_out):
+            return nn.Dense(
+                self.n_head * d_out,
+                kernel_init=normal_init(qkv_std),
+                bias_init=torch_default_bias_init(self.d_model),
+                dtype=self.dtype,
+                name=name,
+            )(x).reshape(B, T, self.n_head, d_out)
+
+        q = proj("w_qs", self.d_k)
+        k = proj("w_ks", self.d_k)
+        v = proj("w_vs", self.d_v)
+
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(self.d_k)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :, :], _MASK_VALUE, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32
+        ).reshape(B, T, self.n_head * self.d_v)
+
+        out = nn.Dense(
+            self.d_model,
+            kernel_init=xavier_normal(),
+            bias_init=torch_default_bias_init(self.n_head * self.d_v),
+            dtype=self.dtype,
+            name="fc",
+        )(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = LayerNorm(dtype=self.dtype)(out + residual)
+        return out, attn
+
+
+class PositionwiseFeedForward(nn.Module):
+    d_in: int
+    d_hid: int
+    kernel: Tuple[int, int] = (9, 1)
+    padding: Tuple[int, int] = (4, 0)
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        out = Conv1d(
+            self.d_hid,
+            kernel_size=self.kernel[0],
+            padding=self.padding[0],
+            dtype=self.dtype,
+            name="w_1",
+        )(x)
+        out = nn.relu(out)
+        out = Conv1d(
+            self.d_in,
+            kernel_size=self.kernel[1],
+            padding=self.padding[1],
+            dtype=self.dtype,
+            name="w_2",
+        )(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return LayerNorm(dtype=self.dtype)(out + residual)
+
+
+class FFTBlock(nn.Module):
+    d_model: int
+    d_inner: int
+    n_head: int
+    d_k: int
+    d_v: int
+    fft_conv1d_kernel: Tuple[int, int] = (9, 1)
+    fft_conv1d_padding: Tuple[int, int] = (4, 0)
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        non_pad_mask: Optional[jnp.ndarray] = None,
+        slf_attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        out, attn = MultiHeadAttention(
+            self.n_head,
+            self.d_model,
+            self.d_k,
+            self.d_v,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="slf_attn",
+        )(x, mask=slf_attn_mask, deterministic=deterministic)
+        if non_pad_mask is not None:
+            out = out * non_pad_mask
+        out = PositionwiseFeedForward(
+            self.d_model,
+            self.d_inner,
+            kernel=self.fft_conv1d_kernel,
+            padding=self.fft_conv1d_padding,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="pos_ffn",
+        )(out, deterministic=deterministic)
+        if non_pad_mask is not None:
+            out = out * non_pad_mask
+        return out, attn

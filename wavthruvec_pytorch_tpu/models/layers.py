@@ -1,0 +1,596 @@
+"""Building-block layers with torch-matching initialization semantics.
+
+The reference trains from scratch with torch default / xavier inits
+(text2vec/subLayer.py:26-28, module.py:213-214, vec2wav/utils.py init_weights),
+so matching the init *distributions* matters for training parity.  All
+sequence tensors are feature-last ``[B, T, C]`` (TPU/XLA-idiomatic; the
+reference's ``[B, C, T]`` transposes disappear).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# torch-style initializers (flax kernel layouts)
+# ---------------------------------------------------------------------------
+
+def calculate_gain(nonlinearity: str) -> float:
+    # torch.nn.init.calculate_gain subset used by the reference
+    return {"linear": 1.0, "relu": math.sqrt(2.0), "tanh": 5.0 / 3.0,
+            "sigmoid": 1.0}[nonlinearity]
+
+
+def _fan_in_out(shape: Sequence[int]) -> Tuple[int, int]:
+    """Fan in/out for flax kernels: dense (in, out); convNd (*k, in, out)."""
+    receptive = 1
+    for s in shape[:-2]:
+        receptive *= s
+    fan_in = shape[-2] * receptive
+    fan_out = shape[-1] * receptive
+    return fan_in, fan_out
+
+
+def xavier_uniform(gain: float = 1.0) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = _fan_in_out(shape)
+        bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_default_kernel_init() -> Callable:
+    """torch Linear/Conv default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, _ = _fan_in_out(shape)
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_default_bias_init(fan_in: int) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def normal_init(std: float, mean: float = 0.0) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return mean + std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Dense / Conv wrappers
+# ---------------------------------------------------------------------------
+
+class Linear(nn.Module):
+    """nn.Linear with xavier_uniform(gain) weights + torch-default bias
+    (reference: text2vec/subLayer.py:11-31)."""
+
+    features: int
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=xavier_uniform(calculate_gain(self.w_init_gain)),
+            bias_init=torch_default_bias_init(in_features),
+            dtype=self.dtype,
+        )(x)
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with torch *default* init (used where the reference does not
+    re-init, e.g. attention fc / CBN projection / generator fcs)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_default_kernel_init(),
+            bias_init=self.bias_init or torch_default_bias_init(in_features),
+            dtype=self.dtype,
+        )(x)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over [B, T, C] with explicit symmetric int padding,
+    matching torch.nn.Conv1d semantics (incl. default init when
+    ``w_init_gain is None``)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    w_init_gain: Optional[str] = None  # None -> torch default init
+    dtype: Optional[Dtype] = None
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        if self.kernel_init is not None:
+            k_init = self.kernel_init
+        elif self.w_init_gain is not None:
+            k_init = xavier_uniform(calculate_gain(self.w_init_gain))
+        else:
+            k_init = torch_default_kernel_init()
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=k_init,
+            bias_init=torch_default_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class Conv2dNHWC(nn.Module):
+    """2-D conv over [B, H, W, C] with torch-like explicit padding."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
+        return nn.Conv(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+class LayerNorm(nn.Module):
+    """torch-eps LayerNorm over the last dim."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over [B, T, C] (stats over B and T), torch eps/momentum.
+
+    ``axis_name`` syncs statistics across the data-parallel mesh axis — the
+    TPU-native replacement for the per-replica BN the reference runs under
+    DDP.
+    """
+
+    use_running_average: bool
+    use_scale: bool = True
+    use_bias: bool = True
+    momentum: float = 0.9  # flax convention; == torch momentum 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_scale=self.use_scale,
+            use_bias=self.use_bias,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+        )(x)
+
+
+class Highway(nn.Module):
+    """Highway layer (reference: text2vec/module.py:247-260): H bias zeroed,
+    T (gate) bias at -1."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        H = nn.Dense(
+            self.features,
+            kernel_init=torch_default_kernel_init(),
+            bias_init=nn.initializers.zeros,
+        )(x)
+        T = nn.Dense(
+            self.features,
+            kernel_init=torch_default_kernel_init(),
+            bias_init=nn.initializers.constant(-1.0),
+        )(x)
+        del in_f
+        H = nn.relu(H)
+        T = nn.sigmoid(T)
+        return H * T + x * (1.0 - T)
+
+
+# ---------------------------------------------------------------------------
+# Weight norm (reparam g * v / ||v||, torch dim=0 == per-out-channel)
+# ---------------------------------------------------------------------------
+
+def _weight_norm_kernel(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """flax kernels are (*spatial, in, out); torch weight_norm(dim=0) keeps
+    the norm per *output* channel (the last flax axis)."""
+    reduce_axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(v * v, axis=reduce_axes, keepdims=True) + 1e-32)
+    return g * v / norm
+
+
+class WNConv1d(nn.Module):
+    """weight_norm(Conv1d) over [B, T, C] (reference: vec2wav/models.py convs).
+
+    ``w_std`` != None applies HiFi-GAN's ``init_weights`` N(0, w_std)
+    (vec2wav/utils.py init_weights, mean=0 std=0.01) to the direction param;
+    g is initialized to ||v|| per torch.nn.utils.weight_norm.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    w_std: Optional[float] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        if self.w_std is not None:
+            v_init = normal_init(self.w_std)
+        else:
+            v_init = torch_default_kernel_init()
+        v = self.param("v", v_init, kshape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-32
+            ),
+            (1, 1, self.features),
+        )
+        kernel = _weight_norm_kernel(v, g)
+        bias = (
+            self.param("bias", torch_default_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        dt = self.dtype or x.dtype
+        out = lax.conv_general_dilated(
+            x.astype(dt),
+            kernel.astype(dt),
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+        )
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
+
+
+class WNConvTranspose1d(nn.Module):
+    """weight_norm(ConvTranspose1d) matching torch semantics exactly:
+    output length = (T-1)*stride - 2*padding + kernel_size.
+
+    Implemented as lhs-dilated conv with a flipped kernel — the composition
+    XLA lowers to a single MXU-friendly conv (reference upsamplers:
+    vec2wav/models.py:89-92).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    w_std: Optional[float] = 0.01  # HiFi-GAN init_weights
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        # torch ConvTranspose1d weight is [in, out, k]; fan_in for the default
+        # bias init uses in_channels * k... torch computes fan_in from
+        # weight.shape -> in*k? For ConvTranspose torch fan_in = out*k; the
+        # bias bound barely matters (w_std path overrides weights anyway).
+        fan_in = in_ch * self.kernel_size
+        kshape = (self.kernel_size, in_ch, self.features)
+        v_init = normal_init(self.w_std) if self.w_std is not None else torch_default_kernel_init()
+        v = self.param("v", v_init, kshape)
+        # torch weight_norm(dim=0) on ConvTranspose normalizes per *input*
+        # channel (dim 0 of [in, out, k]) == flax axis 1 of (k, in, out).
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True) + 1e-32)
+        g = self.param("g", lambda key, shape: norm, (1, in_ch, 1))
+        kernel = g * v / norm
+        bias = (
+            self.param("bias", torch_default_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        dt = self.dtype or x.dtype
+        # transposed conv == insert (stride-1) zeros between inputs, pad both
+        # sides with (k - 1 - padding), regular conv with the flipped kernel.
+        flipped = jnp.flip(kernel, axis=0)
+        pad = self.kernel_size - 1 - self.padding
+        out = lax.conv_general_dilated(
+            x.astype(dt),
+            flipped.astype(dt),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
+
+
+class WNConv2d(nn.Module):
+    """weight_norm(Conv2d) over [B, H, W, C] (MPD stacks, vec2wav/models.py:164-171)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
+        kshape = (*self.kernel_size, in_ch, self.features)
+        v = self.param("v", torch_default_kernel_init(), kshape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-32
+            ),
+            (1, 1, 1, self.features),
+        )
+        kernel = _weight_norm_kernel(v, g)
+        bias = (
+            self.param("bias", torch_default_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        dt = self.dtype or x.dtype
+        out = lax.conv_general_dilated(
+            x.astype(dt),
+            kernel.astype(dt),
+            window_strides=self.strides,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Spectral norm (power iteration, torch-style: 1 iter per training forward)
+# ---------------------------------------------------------------------------
+
+class SpectralNormDense(nn.Module):
+    """spectral_norm(nn.Linear): weight / sigma_max, sigma estimated with one
+    power iteration per update step; the ``u`` vector lives in the
+    ``spectral`` variable collection (reference: vec2wav/modules.py:16,
+    MSD first scale vec2wav/models.py:221).
+    """
+
+    features: int
+    update_stats: bool = True
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+    eps: float = 1e-12
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or torch_default_kernel_init(),
+            (in_f, self.features),
+        )
+        bias = (
+            self.param(
+                "bias",
+                self.bias_init or torch_default_bias_init(in_f),
+                (self.features,),
+            )
+            if self.use_bias
+            else None
+        )
+        # torch parametrization: weight [out, in], u in R^out, v in R^in.
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: _l2n(
+                jax.random.normal(jax.random.PRNGKey(0), (self.features,)),
+                self.eps,
+            ),
+        )
+        u = u_var.value
+        w_t = kernel.T  # [out, in]
+        v = _l2n(jnp.matmul(u, w_t), self.eps)  # W^T u  -> [in]
+        u_new = _l2n(jnp.matmul(w_t, v), self.eps)  # W v -> [out]
+        if self.update_stats and not self.is_initializing():
+            u_var.value = lax.stop_gradient(u_new)
+        # sigma = u^T W v with u, v detached (torch keeps W in the grad path)
+        u_sg = lax.stop_gradient(u_new)
+        v_sg = lax.stop_gradient(v)
+        sigma = jnp.einsum("o,oi,i->", u_sg, w_t, v_sg)
+        w_sn = kernel / sigma
+        out = jnp.matmul(x.astype(self.dtype or x.dtype), w_sn.astype(self.dtype or x.dtype))
+        if bias is not None:
+            out = out + bias
+        return out
+
+
+def _l2n(v: jnp.ndarray, eps: float) -> jnp.ndarray:
+    return v / jnp.maximum(jnp.linalg.norm(v), eps)
+
+
+class SpectralNormConv1d(nn.Module):
+    """spectral_norm(Conv1d) for the first MSD scale (vec2wav/models.py:221-223).
+
+    torch reshapes the conv weight to [out, in*k] for the power iteration.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+    update_stats: bool = True
+    eps: float = 1e-12
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        kernel = self.param("kernel", torch_default_kernel_init(), kshape)
+        bias = (
+            self.param("bias", torch_default_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        w_mat = kernel.reshape(-1, self.features).T  # [out, in*k]
+        u_var = self.variable(
+            "spectral", "u", lambda: _l2n(jnp.ones((self.features,)), self.eps)
+        )
+        u = u_var.value
+        v = _l2n(jnp.matmul(u, w_mat), self.eps)
+        u_new = _l2n(jnp.matmul(w_mat, v), self.eps)
+        if self.update_stats and not self.is_initializing():
+            u_var.value = lax.stop_gradient(u_new)
+        u_sg = lax.stop_gradient(u_new)
+        v_sg = lax.stop_gradient(v)
+        sigma = jnp.einsum("o,oi,i->", u_sg, w_mat, v_sg)
+        kernel_sn = kernel / sigma
+        dt = self.dtype or x.dtype
+        out = lax.conv_general_dilated(
+            x.astype(dt),
+            kernel_sn.astype(dt),
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+        )
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# GRU (for CBHG) — torch-gate-math via lax.scan
+# ---------------------------------------------------------------------------
+
+class BiGRU(nn.Module):
+    """Bidirectional single-layer GRU over [B, T, C] -> [B, T, 2*H].
+
+    torch gate math (nn.GRU): r/z gates sigmoid, candidate uses
+    ``r * (W_hn h + b_hn)``; all params U(±1/sqrt(H)).  Runs as two
+    ``lax.scan``s (fwd + reversed) — the reference feeds the padded sequence
+    without packing (text2vec/module.py:356-358), so no length masking here.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        bound = 1.0 / math.sqrt(self.hidden)
+
+        def u_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        def direction(name: str, xs: jnp.ndarray) -> jnp.ndarray:
+            w_ih = self.param(f"{name}_w_ih", u_init, (C, 3 * self.hidden))
+            w_hh = self.param(f"{name}_w_hh", u_init, (self.hidden, 3 * self.hidden))
+            b_ih = self.param(f"{name}_b_ih", u_init, (3 * self.hidden,))
+            b_hh = self.param(f"{name}_b_hh", u_init, (3 * self.hidden,))
+
+            gi = jnp.einsum("btc,ch->bth", xs, w_ih) + b_ih  # precompute input proj
+
+            def step(h, gi_t):
+                gh = jnp.matmul(h, w_hh) + b_hh
+                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                r = nn.sigmoid(i_r + h_r)
+                z = nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                h_new = (1.0 - z) * n + z * h
+                return h_new, h_new
+
+            h0 = jnp.zeros((B, self.hidden), xs.dtype)
+            _, ys = lax.scan(step, h0, jnp.swapaxes(gi, 0, 1))
+            return jnp.swapaxes(ys, 0, 1)
+
+        fwd = direction("fwd", x)
+        bwd = jnp.flip(direction("bwd", jnp.flip(x, axis=1)), axis=1)
+        return jnp.concatenate([fwd, bwd], axis=-1)

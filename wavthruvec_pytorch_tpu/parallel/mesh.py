@@ -1,0 +1,62 @@
+"""Device-mesh / sharding layer: the TPU-native replacement for the
+reference's NCCL + DDP + DistributedSampler stack.
+
+Reference distributed path (vec2wav/train.py:58-60,91-94,114-122 and
+hparams.py:65-69): ``init_process_group('nccl', tcp://...)``, DDP-wrapped
+modules, per-rank sampled data.  On TPU all of that collapses into:
+
+* one ``jax.sharding.Mesh`` over the visible devices (ICI within a slice,
+  DCN across slices — XLA routes collectives automatically);
+* batch arrays sharded over the ``data`` axis with NamedSharding;
+* parameters replicated; gradient all-reduce emitted by XLA inside the
+  jitted train step (the implicit psum that replaces DDP's all-reduce hooks).
+
+Multi-host: call ``maybe_distributed_init()`` once per process before mesh
+creation; each host feeds its local shard via ``shard_batch``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_distributed_init() -> None:
+    """Initialize jax.distributed when launched as a multi-process job
+    (replaces init_process_group; no-op single-process)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def create_mesh(n_data: int = -1, data_axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the visible devices."""
+    devices = jax.devices()
+    if n_data == -1:
+        n_data = len(devices)
+    if n_data > len(devices):
+        raise ValueError(f"requested {n_data} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_data]), (data_axis,))
+
+
+def data_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """Place a host-side batch pytree so its leading axis is sharded over the
+    mesh (the TPU analog of DistributedSampler feeding per-rank shards)."""
+    sharding = data_sharding(mesh, data_axis)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
