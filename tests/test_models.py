@@ -1,0 +1,243 @@
+"""Shape/behavior tests for the model stacks (fixed PRNG golden-shape tests,
+SURVEY.md §4 plan item b)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
+from wavthruvec_pytorch_tpu.models import (
+    ECAPA_TDNN,
+    Generator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    Text2Vec,
+)
+from wavthruvec_pytorch_tpu.models.vec2wav import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+)
+
+# small config for fast CPU tests
+T2V_SMALL = Text2VecConfig(
+    n_feat_dim=32,
+    spk_channel=32,
+    n_speaker_dim=16,
+    vocab_size=50,
+    max_seq_len=64,
+    encoder_dim=24,
+    encoder_n_layer=2,
+    encoder_conv1d_filter_size=48,
+    decoder_dim=24,
+    decoder_n_layer=2,
+    decoder_conv1d_filter_size=48,
+    duration_predictor_filter_size=16,
+)
+
+V2W_SMALL = Vec2WavConfig(
+    n_feat_dim=24,
+    num_wv_feat=24,
+    spk_dim=8,
+    noise_dim=8,
+    upsample_initial_channel=32,
+    upsample_rates=(4, 4),
+    upsample_kernel_sizes=(8, 8),
+    resblock_kernel_sizes=(3, 5),
+    resblock_dilation_sizes=((1, 2), (1, 2)),
+    periods=(2, 3),
+)
+
+
+def _t2v_batch(cfg, B=2, N=7, T=24, seed=0):
+    rng = np.random.default_rng(seed)
+    in_lens = np.array([N, N - 3])
+    out_lens = np.array([T, T - 10])
+    src_seq = np.zeros((B, N), np.int32)
+    for b in range(B):
+        src_seq[b, : in_lens[b]] = rng.integers(1, cfg.vocab_size, in_lens[b])
+    src_pos = np.where(src_seq != 0, np.arange(1, N + 1)[None, :], 0).astype(np.int32)
+    wav_feat = rng.standard_normal((B, T, cfg.n_feat_dim)).astype(np.float32)
+    for b in range(B):
+        wav_feat[b, out_lens[b]:] = 0.0
+    feat_pos = np.zeros((B, T), np.int32)
+    for b in range(B):
+        feat_pos[b, : out_lens[b]] = np.arange(1, out_lens[b] + 1)
+    prior = rng.random((B, T, N)).astype(np.float32) + 0.1
+    return (
+        jnp.asarray(src_seq),
+        jnp.asarray(src_pos),
+        jnp.asarray(wav_feat),
+        jnp.asarray(in_lens),
+        jnp.asarray(out_lens),
+        jnp.asarray(feat_pos),
+        jnp.asarray(prior),
+    )
+
+
+@pytest.fixture(scope="module")
+def t2v_setup():
+    cfg = T2V_SMALL
+    model = Text2Vec(cfg)
+    batch = _t2v_batch(cfg)
+    src_seq, src_pos, wav_feat, in_lens, out_lens, feat_pos, prior = batch
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        src_seq, src_pos, wav_feat, in_lens, out_lens, feat_pos,
+        attn_prior=prior, deterministic=True, train_bn=False,
+    )
+    return cfg, model, variables, batch
+
+
+def test_text2vec_train_branch_shapes(t2v_setup):
+    cfg, model, variables, batch = t2v_setup
+    src_seq, src_pos, wav_feat, in_lens, out_lens, feat_pos, prior = batch
+    B, N = src_seq.shape
+    T = wav_feat.shape[1]
+    out, mutated = model.apply(
+        variables,
+        src_seq, src_pos, wav_feat, in_lens, out_lens, feat_pos,
+        attn_prior=prior, deterministic=False, train_bn=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert out["feat_output"].shape == (B, T, cfg.n_feat_dim)
+    assert out["feat_postnet_output"].shape == (B, T, cfg.n_feat_dim)
+    assert out["duration_predictor_output"].shape == (B, N)
+    assert out["duration"].shape == (B, N)
+    assert out["attn"].shape == (B, T, N)
+    assert out["attn_soft"].shape == (B, T, N)
+    # durations from MAS must sum to the frame count per item
+    np.testing.assert_array_equal(
+        np.asarray(out["duration"]).sum(axis=1), np.asarray(out_lens)
+    )
+    # outputs masked beyond lengths
+    feat = np.asarray(out["feat_postnet_output"])
+    assert np.abs(feat[1, int(out_lens[1]):]).max() == 0.0
+    assert "batch_stats" in mutated
+
+
+def test_text2vec_infer_branch(t2v_setup):
+    cfg, model, variables, batch = t2v_setup
+    src_seq, src_pos, wav_feat, *_ = batch
+    max_frames = 48
+    out = model.apply(
+        variables,
+        src_seq, src_pos, wav_feat, max_frames, 1.0,
+        method=Text2Vec.infer,
+    )
+    B, N = src_seq.shape
+    assert out["feat_postnet_output"].shape == (B, max_frames, cfg.n_feat_dim)
+    assert out["durations"].shape == (B, N)
+    total = np.asarray(out["total_frames"])
+    assert (total <= max_frames).all()
+    # pad text positions contribute zero duration
+    durs = np.asarray(out["durations"])
+    assert (durs[np.asarray(src_seq) == 0] == 0).all()
+    # frames beyond total are zeroed
+    feat = np.asarray(out["feat_postnet_output"])
+    for b in range(B):
+        if total[b] < max_frames:
+            assert np.abs(feat[b, total[b]:]).max() == 0.0
+
+
+def test_text2vec_infer_alpha_scales_durations(t2v_setup):
+    cfg, model, variables, batch = t2v_setup
+    src_seq, src_pos, wav_feat, *_ = batch
+    out1 = model.apply(variables, src_seq, src_pos, wav_feat, 64, 1.0, method=Text2Vec.infer)
+    out2 = model.apply(variables, src_seq, src_pos, wav_feat, 64, 2.0, method=Text2Vec.infer)
+    t1 = np.asarray(out1["total_frames"])
+    t2 = np.asarray(out2["total_frames"])
+    assert (t2 >= t1).all()
+
+
+def test_ecapa_shapes():
+    m = ECAPA_TDNN(C=64, n_feat_dim=32, n_speaker_dim=192)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 50, 32)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (2, 192)
+
+
+def test_ecapa_wav_input_path():
+    m = ECAPA_TDNN(C=64, n_feat_dim=80, n_speaker_dim=192, input_wav=True)
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8000)), jnp.float32
+    ) * 0.1
+    variables = m.init(jax.random.PRNGKey(0), wav, train=False)
+    out = m.apply(variables, wav, train=False)
+    assert out.shape == (2, 192)
+
+
+@pytest.fixture(scope="module")
+def v2w_setup():
+    cfg = V2W_SMALL
+    gen = Generator(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 11
+    x = jnp.asarray(rng.standard_normal((B, T, cfg.n_feat_dim)), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((B, cfg.spk_dim)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((B, cfg.noise_dim)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), x, spk, noise, train=False)
+    return cfg, gen, variables, (x, spk, noise)
+
+
+def test_generator_upsamples_exactly(v2w_setup):
+    cfg, gen, variables, (x, spk, noise) = v2w_setup
+    y, mutated = gen.apply(
+        variables, x, spk, noise, train=True,
+        mutable=["batch_stats", "spectral"],
+    )
+    assert y.shape == (x.shape[0], x.shape[1] * cfg.total_upsample, 1)
+    assert np.abs(np.asarray(y)).max() <= 1.0  # tanh output
+    assert "batch_stats" in mutated and "spectral" in mutated
+
+
+def test_generator_noise_changes_output(v2w_setup):
+    cfg, gen, variables, (x, spk, noise) = v2w_setup
+    y1 = gen.apply(variables, x, spk, noise, train=False)
+    y2 = gen.apply(variables, x, spk, noise + 1.0, train=False)
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-6
+
+
+def test_discriminators_and_losses(v2w_setup):
+    cfg, gen, variables, (x, spk, noise) = v2w_setup
+    rng = np.random.default_rng(1)
+    B, T = 2, 352  # not a multiple of the periods -> exercises reflect pad
+    y = jnp.asarray(rng.standard_normal((B, T, 1)).clip(-1, 1), jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((B, T, 1)).clip(-1, 1), jnp.float32)
+
+    mpd = MultiPeriodDiscriminator(cfg)
+    mpd_vars = mpd.init(jax.random.PRNGKey(0), y, y_hat)
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = mpd.apply(mpd_vars, y, y_hat)
+    assert len(y_d_rs) == len(cfg.periods)
+
+    msd = MultiScaleDiscriminator()
+    msd_vars = msd.init(jax.random.PRNGKey(1), y, y_hat)
+    s_d_rs, s_d_gs, s_fmap_rs, s_fmap_gs = msd.apply(
+        msd_vars, y, y_hat, mutable=["spectral"]
+    )[0]
+    assert len(s_d_rs) == 3
+
+    d_loss, r_losses, g_losses = discriminator_loss(y_d_rs, y_d_gs)
+    assert np.isfinite(float(d_loss))
+    g_loss, _ = generator_loss(y_d_gs)
+    assert np.isfinite(float(g_loss))
+    fm = feature_loss(fmap_rs, fmap_gs)
+    assert np.isfinite(float(fm))
+    # identical inputs -> zero feature loss
+    assert float(feature_loss(fmap_rs, fmap_rs)) == 0.0
+
+
+def test_config_roundtrip(tmp_path):
+    from wavthruvec_pytorch_tpu.config import load_config, save_config
+
+    cfg = dataclasses.replace(T2V_SMALL, learning_rate=0.05)
+    p = str(tmp_path / "cfg.json")
+    save_config(cfg, p)
+    cfg2 = load_config(Text2VecConfig, p)
+    assert cfg2.learning_rate == 0.05
+    assert cfg2.fft_conv1d_kernel == cfg.fft_conv1d_kernel

@@ -1,0 +1,147 @@
+"""Integration tests: single-step and multi-step training on synthetic data
+(loss decreases), plus 8-device CPU-mesh sharded execution (SURVEY.md §4
+items c+d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavthruvec_pytorch_tpu.config import MeshConfig
+from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch
+from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
+from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
+from tests.test_models import T2V_SMALL, V2W_SMALL
+
+
+def _t2v_synth_batch(cfg, B=8, N=8, T=24, seed=0):
+    rng = np.random.default_rng(seed)
+    items = []
+    for b in range(B):
+        n = int(rng.integers(4, N + 1))
+        t = int(rng.integers(12, T + 1))
+        items.append(
+            {
+                "text_enc": rng.integers(1, cfg.vocab_size, n),
+                "feat_gt_target": rng.standard_normal((t, cfg.n_feat_dim)).astype(
+                    np.float32
+                ),
+                "attn_prior": (rng.random((t, n)) + 0.05).astype(np.float32),
+                "audiopath": f"synth_{b}.npy",
+            }
+        )
+    batch = t2v.make_padded_batch(items, cfg, text_pad=N, frame_pad=T)
+    batch.pop("audiopaths")
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_t2v_train_step_loss_decreases():
+    cfg = T2V_SMALL
+    batch = _t2v_synth_batch(cfg)
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = t2v.make_train_step(model, cfg)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_t2v_train_step_sharded_mesh():
+    cfg = T2V_SMALL
+    mesh = create_mesh()  # 8 virtual CPU devices from conftest
+    assert mesh.devices.size == 8
+    batch = _t2v_synth_batch(cfg, B=8)
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = t2v.make_train_step(model, cfg, mesh=mesh)
+    sharded = shard_batch(batch, mesh)
+    state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def _v2w_synth_batch(cfg, B=4, T=8, seed=0):
+    rng = np.random.default_rng(seed)
+    L = T * cfg.total_upsample
+    wv_feat = rng.standard_normal((B, T, cfg.n_feat_dim)).astype(np.float32)
+    spk = rng.standard_normal((B, cfg.spk_dim)).astype(np.float32)
+    audio = (rng.standard_normal((B, L, 1)) * 0.1).astype(np.float32)
+    # host-side mel target of the real audio (same op, CPU backend)
+    from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
+
+    mel = np.asarray(
+        mel_spectrogram(
+            jnp.asarray(audio[..., 0]),
+            cfg.n_fft,
+            cfg.num_mels,
+            cfg.sampling_rate,
+            cfg.hop_size,
+            cfg.win_size,
+            cfg.fmin,
+            cfg.fmax_for_loss,
+        )
+    ).transpose(0, 2, 1)
+    return {
+        "wv_feat": jnp.asarray(wv_feat),
+        "spk_emb": jnp.asarray(spk),
+        "audio": jnp.asarray(audio),
+        "mel_loss": jnp.asarray(mel),
+    }
+
+
+V2W_TINY = V2W_SMALL.replace_fields() if hasattr(V2W_SMALL, "replace_fields") else V2W_SMALL
+
+
+def _tiny_v2w_cfg():
+    import dataclasses
+
+    return dataclasses.replace(
+        V2W_SMALL,
+        n_fft=64,
+        win_size=64,
+        hop_size=16,
+        num_mels=8,
+        sampling_rate=16000,
+        fmax_for_loss=None,
+    )
+
+
+def test_v2w_gan_step_runs_and_learns():
+    cfg = _tiny_v2w_cfg()
+    batch = _v2w_synth_batch(cfg)
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = v2w.make_train_step(models, cfg)
+    rng = jax.random.PRNGKey(1)
+    mels = []
+    for i in range(6):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(metrics["gen_loss_total"]))
+        assert np.isfinite(float(metrics["disc_loss_total"]))
+        mels.append(float(metrics["mel_loss"]))
+    assert mels[-1] < mels[0], mels
+    assert int(state.step) == 6
+
+
+def test_v2w_gan_step_sharded_mesh():
+    cfg = _tiny_v2w_cfg()
+    mesh = create_mesh()
+    batch = _v2w_synth_batch(cfg, B=8)
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = v2w.make_train_step(models, cfg, mesh=mesh)
+    sharded = shard_batch(batch, mesh)
+    state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["gen_loss_total"]))
+
+
+def test_v2w_lr_decay():
+    cfg = _tiny_v2w_cfg()
+    batch = _v2w_synth_batch(cfg, B=2)
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    new_opt = v2w.set_learning_rate(state.opt_g_state, cfg.learning_rate * cfg.lr_decay)
+    assert float(new_opt.hyperparams["learning_rate"]) == pytest.approx(
+        cfg.learning_rate * cfg.lr_decay
+    )
