@@ -133,7 +133,10 @@ def test_spectral_norm_dense_matches_torch():
     params["bias"] = jnp.asarray(_np(tlin.bias))
     # .copy(): jnp.asarray can alias the torch buffer on CPU and torch's
     # forward mutates weight_u in place.
-    spectral = {"u": jnp.asarray(_np(tlin.weight_u).copy())}
+    spectral = {
+        "u": jnp.asarray(_np(tlin.weight_u).copy()),
+        "v": jnp.asarray(_np(tlin.weight_v).copy()),
+    }
 
     # torch updates u in-place on each training forward; run both once and
     # compare outputs + updated u.
@@ -162,7 +165,10 @@ def test_spectral_norm_conv_matches_torch():
     params = variables["params"]
     params["kernel"] = jnp.asarray(_np(tconv.weight_orig).transpose(2, 1, 0))
     params["bias"] = jnp.asarray(_np(tconv.bias))
-    spectral = {"u": jnp.asarray(_np(tconv.weight_u).copy())}
+    spectral = {
+        "u": jnp.asarray(_np(tconv.weight_u).copy()),
+        "v": jnp.asarray(_np(tconv.weight_v).copy()),
+    }
 
     expected = _np(tconv(x)).transpose(0, 2, 1)
     got, _ = m.apply(

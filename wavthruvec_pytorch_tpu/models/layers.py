@@ -463,6 +463,9 @@ class SpectralNormDense(nn.Module):
             else None
         )
         # torch parametrization: weight [out, in], u in R^out, v in R^in.
+        # torch stores BOTH u and v; train mode iterates (v <- n(W^T u),
+        # u <- n(W v)) then sigma = u.W v; eval mode reuses the stored u, v
+        # without iterating.
         u_var = self.variable(
             "spectral",
             "u",
@@ -471,14 +474,24 @@ class SpectralNormDense(nn.Module):
                 self.eps,
             ),
         )
-        u = u_var.value
+        v_var = self.variable(
+            "spectral",
+            "v",
+            lambda: _l2n(
+                jax.random.normal(jax.random.PRNGKey(1), (in_f,)), self.eps
+            ),
+        )
         w_t = kernel.T  # [out, in]
-        v = _l2n(jnp.matmul(u, w_t), self.eps)  # W^T u  -> [in]
-        u_new = _l2n(jnp.matmul(w_t, v), self.eps)  # W v -> [out]
-        if self.update_stats and not self.is_initializing():
-            u_var.value = lax.stop_gradient(u_new)
+        if self.update_stats:
+            v = _l2n(jnp.matmul(u_var.value, w_t), self.eps)  # W^T u -> [in]
+            u = _l2n(jnp.matmul(w_t, v), self.eps)  # W v -> [out]
+            if not self.is_initializing():
+                u_var.value = lax.stop_gradient(u)
+                v_var.value = lax.stop_gradient(v)
+        else:
+            u, v = u_var.value, v_var.value
         # sigma = u^T W v with u, v detached (torch keeps W in the grad path)
-        u_sg = lax.stop_gradient(u_new)
+        u_sg = lax.stop_gradient(u)
         v_sg = lax.stop_gradient(v)
         sigma = jnp.einsum("o,oi,i->", u_sg, w_t, v_sg)
         w_sn = kernel / sigma
@@ -519,16 +532,33 @@ class SpectralNormConv1d(nn.Module):
             if self.use_bias
             else None
         )
-        w_mat = kernel.reshape(-1, self.features).T  # [out, in*k]
+        # torch reshapes weight [out, in, k] -> [out, in*k]; our flax kernel
+        # is (k, in, out) so transpose to (out, in, k) before flattening to
+        # keep the stored-v layout identical to torch's.
+        w_mat = jnp.transpose(kernel, (2, 1, 0)).reshape(self.features, -1)
+        dim_v = w_mat.shape[1]
         u_var = self.variable(
-            "spectral", "u", lambda: _l2n(jnp.ones((self.features,)), self.eps)
+            "spectral", "u",
+            lambda: _l2n(
+                jax.random.normal(jax.random.PRNGKey(0), (self.features,)),
+                self.eps,
+            ),
         )
-        u = u_var.value
-        v = _l2n(jnp.matmul(u, w_mat), self.eps)
-        u_new = _l2n(jnp.matmul(w_mat, v), self.eps)
-        if self.update_stats and not self.is_initializing():
-            u_var.value = lax.stop_gradient(u_new)
-        u_sg = lax.stop_gradient(u_new)
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: _l2n(
+                jax.random.normal(jax.random.PRNGKey(1), (dim_v,)), self.eps
+            ),
+        )
+        if self.update_stats:
+            v = _l2n(jnp.matmul(u_var.value, w_mat), self.eps)
+            u = _l2n(jnp.matmul(w_mat, v), self.eps)
+            if not self.is_initializing():
+                u_var.value = lax.stop_gradient(u)
+                v_var.value = lax.stop_gradient(v)
+        else:
+            u, v = u_var.value, v_var.value
+        u_sg = lax.stop_gradient(u)
         v_sg = lax.stop_gradient(v)
         sigma = jnp.einsum("o,oi,i->", u_sg, w_mat, v_sg)
         kernel_sn = kernel / sigma
