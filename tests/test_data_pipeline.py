@@ -1,0 +1,207 @@
+"""End-to-end data pipeline tests on a synthetic on-disk dataset:
+filelists + npy feats + wavs -> loaders -> train steps; checkpoint
+save/restore roundtrip; ingest filelist/vocab building."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_models import T2V_SMALL, V2W_SMALL
+from wavthruvec_pytorch_tpu import checkpoint as ckpt
+from wavthruvec_pytorch_tpu.text import TextFrontend, build_vocab_from_texts
+
+SYMS = "PE abcdefg"
+
+
+@pytest.fixture()
+def t2v_disk_dataset(tmp_path):
+    cfg = dataclasses.replace(
+        T2V_SMALL,
+        vocab_size=len(SYMS),
+        betabinom_cache_path=str(tmp_path / "align_prior"),
+        feat_ground_truth=str(tmp_path / "w2v_feat"),
+        batch_size=2,
+        batch_expand_size=2,
+        text_buckets=(8, 16),
+        frame_buckets=(16, 32),
+    )
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "w2v_feat" / "SSB001"
+    feat_dir.mkdir(parents=True)
+    lines = []
+    texts = ["abc", "defg", "aceg", "bdf", "abcdefg", "gfe", "ab", "cde"]
+    for i, text in enumerate(texts):
+        t = int(rng.integers(10, 30))
+        np.save(feat_dir / f"u{i}.npy", rng.standard_normal((1, t, cfg.n_feat_dim)).astype(np.float32))
+        lines.append(f"SSB001/u{i}.npy|{text}|SSB001")
+    flist = tmp_path / "train.txt"
+    flist.write_text("\n".join(lines) + "\n")
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text(SYMS)
+    return cfg, str(flist), str(vocab)
+
+
+def test_t2v_buffer_loader_and_step(t2v_disk_dataset):
+    cfg, flist, vocab = t2v_disk_dataset
+    from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
+    from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
+
+    frontend = TextFrontend.from_vocab_file(vocab)
+    buffer = load_buffer([flist], cfg, frontend, feat_root=cfg.feat_ground_truth)
+    assert len(buffer) == 8
+    # prior cache written
+    assert len(os.listdir(cfg.betabinom_cache_path)) > 0
+
+    loader = BucketedLoader(buffer, cfg, seed=0)
+    batches = list(loader.epoch())
+    assert len(batches) == len(loader) == 4  # 8 items / (2x2) super * 2 expand
+    shapes = loader.bucket_shapes()
+    assert all(n in cfg.text_buckets and t in cfg.frame_buckets for n, t in shapes)
+
+    batch = batches[0]
+    batch.pop("audiopaths")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = t2v.make_train_step(model, cfg)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, t2v_disk_dataset):
+    cfg, flist, vocab = t2v_disk_dataset
+    from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
+    from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
+
+    frontend = TextFrontend.from_vocab_file(vocab)
+    buffer = load_buffer([flist], cfg, frontend, feat_root=cfg.feat_ground_truth)
+    loader = BucketedLoader(buffer, cfg, seed=0)
+    batch = next(loader.epoch())
+    batch.pop("audiopaths")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+
+    path = str(tmp_path / "ckpt" / "checkpoint_5")
+    ckpt.save_checkpoint(path, jax.device_get(state))
+    restored = ckpt.restore_checkpoint(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.scan_checkpoint(str(tmp_path / "ckpt"), "checkpoint_").endswith("checkpoint_5")
+    assert ckpt.checkpoint_step(path) == 5
+
+
+@pytest.fixture()
+def v2w_disk_dataset(tmp_path):
+    cfg = dataclasses.replace(
+        V2W_SMALL,
+        feat_ground_truth=str(tmp_path / "w2v_feat"),
+        train_wav_path=str(tmp_path / "aishell3"),
+        spk_emb_path=str(tmp_path / "spk_emb"),
+        input_training_file=str(tmp_path / "train.txt"),
+        input_validation_file=str(tmp_path / "val.txt"),
+        n_fft=64,
+        win_size=64,
+        hop_size=16,
+        num_mels=8,
+        frame_buckets=(16, 32),
+        batch_size=2,
+    )
+    rng = np.random.default_rng(0)
+    from scipy.io import wavfile
+
+    spk = "SSB001"
+    (tmp_path / "w2v_feat" / "train" / spk).mkdir(parents=True)
+    (tmp_path / "aishell3" / "train" / "wav" / spk).mkdir(parents=True)
+    (tmp_path / "spk_emb").mkdir()
+    np.save(tmp_path / "spk_emb" / f"{spk}.npy",
+            rng.standard_normal(cfg.spk_dim).astype(np.float32))
+    lines = []
+    for i in range(4):
+        t = int(rng.integers(10, 17))
+        np.save(tmp_path / "w2v_feat" / "train" / spk / f"u{i}.npy",
+                rng.standard_normal((1, t, cfg.n_feat_dim)).astype(np.float32))
+        wav = (rng.standard_normal(t * cfg.total_upsample) * 3000).astype(np.int16)
+        wavfile.write(tmp_path / "aishell3" / "train" / "wav" / spk / f"u{i}.wav",
+                      cfg.sampling_rate, wav)
+        lines.append(f"train/{spk}/u{i}.npy|text|{spk}")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "val.txt").write_text(lines[0] + "\n")
+    return cfg
+
+
+def test_vocoder_dataset_and_gan_step(v2w_disk_dataset):
+    cfg = v2w_disk_dataset
+    from wavthruvec_pytorch_tpu.data.vocoder_data import (
+        VocoderDataset,
+        VocoderLoader,
+        get_dataset_filelist,
+    )
+    from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
+
+    train_files, val_files = get_dataset_filelist(
+        cfg.input_training_file, cfg.input_validation_file
+    )
+    assert len(train_files) == 4 and len(val_files) == 1
+    ds = VocoderDataset(train_files, cfg)
+    item = ds[0]
+    assert item["wv_feat"].shape[1] == cfg.n_feat_dim
+    assert np.abs(item["audio"]).max() <= 0.951  # normalize * 0.95
+    assert item["mel_loss"].shape[1] == cfg.num_mels
+
+    loader = VocoderLoader(ds, cfg.batch_size)
+    batch = next(loader.epoch())
+    assert batch["audio"].shape[1] == batch["wv_feat"].shape[1] * cfg.total_upsample
+    assert batch["mel_loss"].shape[1] == batch["audio"].shape[1] // cfg.hop_size
+
+    batch.pop("filenames")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = v2w.make_train_step(models, cfg)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["gen_loss_total"]))
+
+
+def test_host_mel_matches_device_mel(v2w_disk_dataset):
+    cfg = v2w_disk_dataset
+    from wavthruvec_pytorch_tpu.data.vocoder_data import mel_spectrogram_np
+    from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
+
+    rng = np.random.default_rng(3)
+    y = (rng.standard_normal(4096) * 0.3).clip(-1, 1).astype(np.float32)
+    host = mel_spectrogram_np(y, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+                              cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss)
+    dev = np.asarray(mel_spectrogram(jnp.asarray(y[None]), cfg.n_fft, cfg.num_mels,
+                                     cfg.sampling_rate, cfg.hop_size, cfg.win_size,
+                                     cfg.fmin, cfg.fmax_for_loss))[0].T
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, atol=2e-4)
+
+
+def test_ingest_filelists_and_vocab(tmp_path):
+    from wavthruvec_pytorch_tpu.data.ingest import (
+        build_vocab,
+        clean_label_text,
+        parse_content_file,
+    )
+
+    assert clean_label_text("你A好 b2 吗?") == "你好吗"
+    content = tmp_path / "content.txt"
+    content.write_text("SSB1.wav\t你 hao3 好\nSSB2.wav\t世 shi4 界\n")
+    d = parse_content_file(str(content))
+    assert d == {"SSB1.wav": "你好", "SSB2.wav": "世界"}
+    vocab = build_vocab(str(tmp_path / "vocab.txt"), d)
+    assert vocab.startswith("PE ")
+    assert set("你好世界") <= set(vocab)
+    # frontend roundtrip on the generated vocab
+    fe = TextFrontend(vocab)
+    seq = fe.text_to_sequence("你好")
+    assert seq[0] == vocab.index(" ") and seq[-1] == vocab.index("E")
+
+
+def test_build_vocab_from_texts():
+    v = build_vocab_from_texts(["abc", "cab", "d"])
+    assert v == "PE abcd"

@@ -1,0 +1,144 @@
+"""Text2Vec data pipeline: RAM buffer + length-bucketed batching.
+
+Reference: text2vec/dataset.py:57-214 — the entire dataset is loaded to RAM
+(`get_data_to_buffer`), the DataLoader draws ``batch_size*batch_expand_size``
+items, sorts by text length descending, slices into ``batch_expand_size``
+real batches (length bucketing), pads, and emits dicts.
+
+TPU-native: every emitted batch is padded to a fixed (text_bucket,
+frame_bucket) shape from the config so the jitted train step compiles once
+per bucket pair instead of once per max-length (jit cache friendliness).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from wavthruvec_pytorch_tpu.config import Text2VecConfig
+from wavthruvec_pytorch_tpu.data.prior import get_attention_prior
+from wavthruvec_pytorch_tpu.text import TextFrontend
+from wavthruvec_pytorch_tpu.train.text2vec_train import (
+    make_padded_batch,
+    pad_to_bucket,
+)
+
+
+def process_text(text_path: str) -> List[str]:
+    with open(text_path, "r", encoding="utf-8") as f:
+        return list(f.readlines())
+
+
+def load_buffer(
+    file_lists: Sequence[str],
+    cfg: Text2VecConfig,
+    frontend: TextFrontend,
+    feat_root: Optional[str] = None,
+    limit: Optional[int] = None,
+    npy_loader=None,
+) -> List[Dict]:
+    """Load every ``npy|text|spk`` line into RAM (reference: dataset.py:64-103).
+
+    ``npy_loader`` lets callers plug the native prefetching reader
+    (wavthruvec_pytorch_tpu.data.native_io) in place of np.load.
+    """
+    feat_root = feat_root if feat_root is not None else cfg.feat_ground_truth
+    lines: List[str] = []
+    for p in file_lists:
+        lines.extend(process_text(p))
+    if limit is not None:
+        lines = lines[:limit]
+
+    load = npy_loader or np.load
+    buffer = []
+    start = time.perf_counter()
+    for line in lines:
+        npy_file, character, spk = line.strip().split("|")
+        feat_path = os.path.join(feat_root, npy_file)
+        feat = np.asarray(load(feat_path))
+        feat = feat.squeeze()  # [1, T, C] -> [T, C]
+        text_enc = np.asarray(frontend.text_to_sequence(character), np.int32)
+        attn_prior = (
+            get_attention_prior(
+                text_enc.shape[0],
+                feat.shape[0],
+                cache_path=cfg.betabinom_cache_path,
+                scaling_factor=cfg.betabinom_scaling_factor,
+                use_attn_prior_masking=cfg.use_attn_prior_masking,
+            )
+            if cfg.use_attn_prior_masking
+            else None
+        )
+        buffer.append(
+            {
+                "text_enc": text_enc,
+                "feat_gt_target": feat.astype(np.float32),
+                "audiopath": feat_path,
+                "attn_prior": attn_prior,
+                "speaker": spk,
+            }
+        )
+    print(
+        "cost {:.2f}s to load all data into buffer.".format(
+            time.perf_counter() - start
+        )
+    )
+    return buffer
+
+
+class BucketedLoader:
+    """Length-bucketed batch iterator (replaces DataLoader+collate_fn_tensor).
+
+    Each epoch: shuffle; draw ``batch_size * batch_expand_size`` items; sort
+    by text length descending; emit ``batch_expand_size`` padded batches of
+    ``batch_size`` (reference: dataset.py:200-214).  Batches are padded up to
+    the config's static shape buckets.
+    """
+
+    def __init__(
+        self,
+        buffer: List[Dict],
+        cfg: Text2VecConfig,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.buffer = buffer
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self.super_batch = cfg.batch_size * cfg.batch_expand_size
+
+    def __len__(self) -> int:
+        n_super = len(self.buffer) // self.super_batch
+        return n_super * self.cfg.batch_expand_size
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.rng.permutation(len(self.buffer))
+        n_super = len(order) // self.super_batch
+        for s in range(n_super):
+            idx = order[s * self.super_batch : (s + 1) * self.super_batch]
+            items = [self.buffer[i] for i in idx]
+            items.sort(key=lambda it: -len(it["text_enc"]))
+            for j in range(self.cfg.batch_expand_size):
+                chunk = items[
+                    j * self.cfg.batch_size : (j + 1) * self.cfg.batch_size
+                ]
+                yield make_padded_batch(chunk, self.cfg)
+
+    def bucket_shapes(self):
+        """All (text_bucket, frame_bucket) pairs this dataset can emit —
+        useful for jit pre-compilation."""
+        pairs = set()
+        for it in self.buffer:
+            pairs.add(
+                (
+                    pad_to_bucket(len(it["text_enc"]), self.cfg.text_buckets),
+                    pad_to_bucket(
+                        it["feat_gt_target"].shape[0], self.cfg.frame_buckets
+                    ),
+                )
+            )
+        return sorted(pairs)

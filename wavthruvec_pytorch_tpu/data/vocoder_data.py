@@ -1,0 +1,239 @@
+"""Vec2Wav data pipeline: wav + wav2vec-feature + speaker-embedding loading,
+host-side log-mel targets, fixed-shape padded batches.
+
+Reference: vec2wav/dataset.py:80-228 (MelDataset + collate).  Differences by
+design: librosa/torchaudio are not dependencies — wav loading uses the
+stdlib/scipy, the log-mel target uses the exact same math as the in-graph
+mel op (ops/stft.py), and every batch is padded to a static frame bucket so
+the jitted GAN step compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from wavthruvec_pytorch_tpu.config import Vec2WavConfig
+from wavthruvec_pytorch_tpu.ops.stft import _dft_kernel, mel_filterbank
+
+
+def load_wav(path: str, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
+    """float32 mono waveform in [-1, 1] (reference: dataset.py:16-20 uses
+    librosa.load(sr=16000); here scipy + polyphase resampling)."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    data = np.asarray(data)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    if sr != target_sr:
+        from scipy.signal import resample_poly
+
+        g = math.gcd(sr, target_sr)
+        data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
+        sr = target_sr
+    return data, sr
+
+
+def normalize(audio: np.ndarray) -> np.ndarray:
+    """librosa.util.normalize: peak-normalize to 1.0 (dataset.py:133)."""
+    peak = np.max(np.abs(audio))
+    return audio / peak if peak > 0 else audio
+
+
+def mel_spectrogram_np(
+    y: np.ndarray,
+    n_fft: int,
+    num_mels: int,
+    sampling_rate: int,
+    hop_size: int,
+    win_size: int,
+    fmin: float,
+    fmax: Optional[float],
+) -> np.ndarray:
+    """Host (numpy) twin of ops.stft.mel_spectrogram: [L] -> [frames, M].
+
+    Same reflect pad, windowed-DFT kernel and slaney filterbank, so the
+    host-computed training target matches the in-graph op bit-for-bit up to
+    f32 accumulation order (reference computes the target in its Dataset,
+    vec2wav/dataset.py:177-179).
+    """
+    pad = int((n_fft - hop_size) / 2)
+    y = np.pad(y, (pad, pad), mode="reflect")
+    n_frames = (len(y) - n_fft) // hop_size + 1
+    idx = np.arange(n_fft)[None, :] + hop_size * np.arange(n_frames)[:, None]
+    frames = y[idx]  # [frames, n_fft]
+    kernel = _dft_kernel(n_fft, win_size)[:, 0, :]  # [2F, n_fft]
+    spec = frames @ kernel.T  # [frames, 2F]
+    F = n_fft // 2 + 1
+    mag = np.sqrt(spec[:, :F] ** 2 + spec[:, F:] ** 2 + 1e-9)
+    basis = mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax)
+    mel = mag @ basis.T  # [frames, M]
+    return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)
+
+
+def get_dataset_filelist(
+    input_training_file: str, input_validation_file: str
+) -> Tuple[List[str], List[str]]:
+    # reference: vec2wav/dataset.py:80-87 (first |-field per line)
+    def read(p):
+        with open(p, "r", encoding="utf-8") as f:
+            return [x.split("|")[0] for x in f.read().split("\n") if len(x) > 0]
+
+    return read(input_training_file), read(input_validation_file)
+
+
+def load_spk_emb(path: str) -> np.ndarray:
+    """Per-speaker embedding: .npy, or the reference's torch .pth
+    (vec2wav/dataset.py:183)."""
+    if path.endswith(".npy"):
+        return np.load(path).squeeze().astype(np.float32)
+    import torch
+
+    return torch.load(path, map_location="cpu").squeeze().numpy().astype(np.float32)
+
+
+class VocoderDataset:
+    """Per-item loading mirroring the reference MelDataset path scheme:
+    filelist entry ``train/SSB.../x.npy`` ->
+    wav ``{train_wav_path}/train/wav/SSB.../x.wav``,
+    feats ``{feat_ground_truth}/train/SSB.../x.npy``,
+    spk emb ``{spk_emb_path}/{SSB...}.pth`` (vec2wav/dataset.py:115-187).
+    """
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        cfg: Vec2WavConfig,
+        fine_tuning: bool = False,
+        base_mels_path: Optional[str] = None,
+        split: Optional[bool] = None,
+        seed: int = 1234,
+        npy_loader=None,
+    ):
+        self.files = list(files)
+        self.cfg = cfg
+        self.fine_tuning = fine_tuning
+        self.base_mels_path = base_mels_path
+        self.split = cfg.split if split is None else split
+        self.rng = np.random.default_rng(seed)
+        self.load_npy = npy_loader or np.load
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> Dict:
+        cfg = self.cfg
+        filename = self.files[index]
+        parts = filename.split("/")
+        wav_file = os.path.join(
+            cfg.train_wav_path, parts[0], "wav", parts[1], parts[2][:-4] + ".wav"
+        )
+        feat_file = os.path.join(cfg.feat_ground_truth, filename)
+        spk = parts[1]
+
+        audio, sr = load_wav(wav_file, cfg.sampling_rate)
+        if not self.fine_tuning:
+            audio = normalize(audio) * 0.95
+
+        if self.split and not self.fine_tuning:
+            # windowed-generator mode (reference defines it but leaves it off
+            # in the train loop — dataset.py:146-154, train.py:109-112)
+            if len(audio) >= cfg.segment_size:
+                start = int(self.rng.integers(0, len(audio) - cfg.segment_size + 1))
+                audio = audio[start : start + cfg.segment_size]
+            else:
+                audio = np.pad(audio, (0, cfg.segment_size - len(audio)))
+
+        mel_loss = mel_spectrogram_np(
+            audio, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+            cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
+        )
+        wv_feat = np.asarray(self.load_npy(feat_file)).squeeze().astype(np.float32)
+        spk_path_pth = os.path.join(cfg.spk_emb_path, spk + ".pth")
+        spk_path_npy = os.path.join(cfg.spk_emb_path, spk + ".npy")
+        spk_emb = load_spk_emb(
+            spk_path_npy if os.path.exists(spk_path_npy) else spk_path_pth
+        )
+        return {
+            "wv_feat": wv_feat,  # [T, 1024]
+            "spk_emb": spk_emb,  # [192]
+            "audio": audio,  # [L]
+            "mel_loss": mel_loss,  # [F, 80]
+            "filename": filename,
+        }
+
+
+def pad_vocoder_batch(
+    items: List[Dict], cfg: Vec2WavConfig, frame_pad: Optional[int] = None
+) -> Dict[str, np.ndarray]:
+    """Pad to a static frame bucket: feats [B,T,C], audio [B,T*320,1],
+    mel [B,T*320/256,M] (replaces vec2wav/dataset.py:194-228 collate)."""
+    from wavthruvec_pytorch_tpu.train.text2vec_train import pad_to_bucket
+
+    B = len(items)
+    t_lens = [it["wv_feat"].shape[0] for it in items]
+    T = frame_pad or pad_to_bucket(max(t_lens), cfg.frame_buckets)
+    L = T * cfg.total_upsample
+    n_mel_frames = L // cfg.hop_size
+
+    wv = np.zeros((B, T, cfg.n_feat_dim), np.float32)
+    audio = np.zeros((B, L, 1), np.float32)
+    mel = np.zeros((B, n_mel_frames, cfg.num_mels), np.float32)
+    spk = np.zeros((B, cfg.spk_dim), np.float32)
+    names = []
+    for i, it in enumerate(items):
+        t = min(it["wv_feat"].shape[0], T)
+        wv[i, :t] = it["wv_feat"][:t]
+        a = it["audio"][: L]
+        audio[i, : len(a), 0] = a
+        m = it["mel_loss"][: n_mel_frames]
+        mel[i, : m.shape[0]] = m
+        spk[i] = it["spk_emb"]
+        names.append(it["filename"])
+    return {
+        "wv_feat": wv,
+        "spk_emb": spk,
+        "audio": audio,
+        "mel_loss": mel,
+        "filenames": names,
+    }
+
+
+class VocoderLoader:
+    """Shuffled fixed-shape batch iterator over a VocoderDataset."""
+
+    def __init__(self, dataset: VocoderDataset, batch_size: int, seed: int = 1234,
+                 shuffle: bool = True, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = (
+            self.rng.permutation(len(self.dataset))
+            if self.shuffle
+            else np.arange(len(self.dataset))
+        )
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            items = [self.dataset[int(i)] for i in idx]
+            yield pad_vocoder_batch(items, self.dataset.cfg)

@@ -1,0 +1,139 @@
+"""End-to-end synthesis: raw text -> wav2vec latents -> 16 kHz waveform.
+
+Covers the reference's two-stage inference (text2vec/eval.py:19-138 for the
+latent stage; the reference has no vocoder CLI — the full chain is the paper
+pipeline).  Jitted per (text_bucket, frame_bucket) shape pair; all padding is
+masked so batch synthesis of mixed-length texts is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
+from wavthruvec_pytorch_tpu.models import Generator, Text2Vec
+from wavthruvec_pytorch_tpu.text import TextFrontend
+from wavthruvec_pytorch_tpu.train.text2vec_train import pad_to_bucket
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        t2v_cfg: Text2VecConfig,
+        v2w_cfg: Vec2WavConfig,
+        t2v_variables,
+        gen_variables,
+        frontend: TextFrontend,
+    ):
+        self.t2v_cfg = t2v_cfg
+        self.v2w_cfg = v2w_cfg
+        self.t2v = Text2Vec(t2v_cfg)
+        self.gen = Generator(v2w_cfg)
+        self.t2v_variables = t2v_variables
+        self.gen_variables = gen_variables
+        self.frontend = frontend
+
+    # --- jitted stages (cached per static shapes) --------------------------
+    @functools.lru_cache(maxsize=16)
+    def _t2v_fn(self, max_frames: int, alpha: float):
+        def fn(variables, src_seq, src_pos, ref_feat):
+            out = self.t2v.apply(
+                variables, src_seq, src_pos, ref_feat, max_frames, alpha,
+                method=Text2Vec.infer,
+            )
+            return (
+                out["feat_output"],
+                out["feat_postnet_output"],
+                out["total_frames"],
+            )
+
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=16)
+    def _voc_fn(self):
+        def fn(variables, latents, spk_emb, noise):
+            return self.gen.apply(variables, latents, spk_emb, noise, train=False)
+
+        return jax.jit(fn)
+
+    # --- public API ---------------------------------------------------------
+    def text_to_latents(
+        self,
+        texts: Sequence[str],
+        ref_feats: np.ndarray,
+        alpha: float = 1.0,
+        max_frames: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        """texts + [B, T_ref, 1024] speaker-reference wav2vec feats ->
+        padded latents [B, max_frames, 1024] + per-item frame counts."""
+        ids, lengths = self.frontend.encode_batch(
+            texts, pad_to=pad_to_bucket(
+                max(len(self.frontend.text_to_sequence(t)) for t in texts),
+                self.t2v_cfg.text_buckets,
+            ),
+        )
+        src_pos = np.where(ids != 0, np.arange(1, ids.shape[1] + 1)[None], 0)
+        if max_frames is None:
+            max_frames = self.t2v_cfg.frame_buckets[-1]
+        fn = self._t2v_fn(max_frames, float(alpha))
+        feat, feat_postnet, total = fn(
+            self.t2v_variables,
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(src_pos, jnp.int32),
+            jnp.asarray(ref_feats, jnp.float32),
+        )
+        return {
+            "feat_output": np.asarray(feat),
+            "feat_postnet_output": np.asarray(feat_postnet),
+            "total_frames": np.asarray(total),
+            "input_lengths": lengths,
+        }
+
+    def latents_to_wav(
+        self,
+        latents: np.ndarray,
+        spk_emb: np.ndarray,
+        noise: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """[B, T, 1024] latents + [B, 192] speaker emb -> [B, T*320] wav."""
+        B = latents.shape[0]
+        if noise is None:
+            noise = np.asarray(
+                jax.random.normal(
+                    jax.random.PRNGKey(seed), (B, self.v2w_cfg.noise_dim)
+                )
+            )
+        wav = self._voc_fn()(
+            self.gen_variables,
+            jnp.asarray(latents, jnp.float32),
+            jnp.asarray(spk_emb, jnp.float32),
+            jnp.asarray(noise, jnp.float32),
+        )
+        return np.asarray(wav)[..., 0]
+
+    def synthesize(
+        self,
+        texts: Sequence[str],
+        ref_feats: np.ndarray,
+        spk_emb: np.ndarray,
+        alpha: float = 1.0,
+        max_frames: Optional[int] = None,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Full pipeline -> ([B, L] waveforms, [B] sample counts)."""
+        out = self.text_to_latents(texts, ref_feats, alpha, max_frames)
+        wav = self.latents_to_wav(out["feat_postnet_output"], spk_emb, seed=seed)
+        n_samples = out["total_frames"] * self.v2w_cfg.total_upsample
+        return wav, n_samples
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
+    from scipy.io import wavfile
+
+    wavfile.write(path, sample_rate, np.clip(wav, -1, 1))

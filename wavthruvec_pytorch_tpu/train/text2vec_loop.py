@@ -1,0 +1,189 @@
+"""Text2Vec end-to-end training loop (reference: text2vec/train.py:199-455).
+
+Mirrors the reference CLI:
+    python -m wavthruvec_pytorch_tpu.train.text2vec_loop \
+        --restore_step 0 [--frozen_learning_rate --learning_rate_frozen 1e-3]
+
+Flow: RAM buffer -> length-bucketed loader -> jitted train step (forward incl
+on-device MAS, 4-term loss, LAMB) -> TB scalars every iter, alignment images
++ text log every log_step, orbax checkpoint every save_step, resume via
+--restore_step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavthruvec_pytorch_tpu import checkpoint as ckpt
+from wavthruvec_pytorch_tpu.config import MeshConfig, Text2VecConfig, save_config
+from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
+from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch
+from wavthruvec_pytorch_tpu.text import TextFrontend
+from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
+from wavthruvec_pytorch_tpu.utils.logging import StepTimer, TrainLogger
+from wavthruvec_pytorch_tpu.utils.plots import plot_alignment_to_numpy
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def compute_validation_loss(model, cfg, state, val_loader, logger, iteration):
+    """Eval-mode forward + losses over the val set (reference:
+    text2vec/train.py:80-196 — defined there, call commented out)."""
+    from wavthruvec_pytorch_tpu.models.losses import (
+        attention_binarization_loss,
+        dnn_loss,
+    )
+
+    totals, n = {}, 0
+    for batch in val_loader.epoch():
+        batch.pop("audiopaths", None)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["text"], batch["src_pos"], batch["feat_target"],
+            batch["input_lengths"], batch["output_lengths"], batch["feat_pos"],
+            attn_prior=batch["attn_prior"], deterministic=True, train_bn=False,
+        )
+        w, p, d = dnn_loss(
+            outputs["feat_output"], outputs["feat_postnet_output"],
+            batch["feat_target"], outputs["duration_predictor_output"],
+            outputs["duration"],
+        )
+        b = attention_binarization_loss(outputs["attn"], outputs["attn_soft"])
+        for k, v in [("WVF_loss", w), ("WVF_postnet_loss", p),
+                     ("duration_loss", d), ("binarization_loss", b)]:
+            totals[k] = totals.get(k, 0.0) + float(v)
+        n += 1
+    if n:
+        for k, v in totals.items():
+            logger.add_scalar(f"val/{k}", v / n, iteration)
+    return {k: v / max(n, 1) for k, v in totals.items()}
+
+
+def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig] = None):
+    if args is None:
+        args = parse_args([])
+    if cfg is None:
+        cfg = Text2VecConfig()
+        if os.path.exists(cfg.vocab_path):
+            cfg = cfg.with_vocab_from_file(cfg.vocab_path)
+
+    print("Use Text2Vec (TPU-native)")
+    frontend = TextFrontend.from_vocab_file(cfg.vocab_path)
+    buffer = load_buffer(list(cfg.train_list), cfg, frontend)
+    loader = BucketedLoader(buffer, cfg, seed=args.seed)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = create_mesh()
+        print(f"data-parallel mesh over {mesh.devices.size} devices")
+
+    # init from the first batch (defines shapes only; jit recompiles per bucket)
+    first = next(loader.epoch())
+    first.pop("audiopaths", None)
+    first_j = {k: jnp.asarray(v) for k, v in first.items()}
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(args.seed), first_j)
+    print("Number of TTS Parameters:", count_params(state.params))
+
+    step_fn, _ = t2v.make_train_step(model, cfg, mesh=mesh)
+    if args.frozen_learning_rate:
+        state = t2v.set_learning_rate(state, args.learning_rate_frozen)
+
+    # resume (reference: --restore_step + checkpoint_{step}, train.py:237-248)
+    iteration = args.restore_step
+    if args.restore_step > 0:
+        path = os.path.join(cfg.checkpoint_path, f"checkpoint_{args.restore_step}")
+        try:
+            state = ckpt.restore_checkpoint(path, state)
+            print(f"\n---Model Restored at Step {args.restore_step}---\n")
+        except Exception as e:
+            print(f"\n---Start New Training--- (restore failed: {e})\n")
+            iteration = 0
+
+    os.makedirs(cfg.checkpoint_path, exist_ok=True)
+    save_config(cfg, os.path.join(cfg.run_path, cfg.log_seed, "config.json"))
+    logger = TrainLogger(cfg.tensorboard_logs_path, cfg.logger_path)
+    timer = StepTimer()
+
+    total_step = cfg.epochs * len(loader)
+    print("\ntotal steps:", total_step, "len(loader)", len(loader), "\n")
+    rng = jax.random.PRNGKey(args.seed + 1)
+    start_time = time.perf_counter()
+
+    for epoch in range(cfg.epochs):
+        for batch in loader.epoch():
+            audiopaths = batch.pop("audiopaths")
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            iteration += 1
+            timer.tick()
+
+            if iteration % args.scalar_log_step == 0:
+                for tag in ("total_loss", "WVF_loss", "WVF_postnet_loss",
+                            "duration_loss", "attn_binarization_loss"):
+                    logger.add_scalar(f"train/{tag}", float(metrics[tag]), iteration)
+
+            if iteration % cfg.log_step == 0:
+                elapsed = time.perf_counter() - start_time
+                logger.text(
+                    f"Epoch [{epoch + 1}/{cfg.epochs}], Step [{iteration}/{total_step}]:",
+                    "W2V Feat Loss: {:.4f}, PostNet Loss: {:.4f}, attn_bin: {:.4f};".format(
+                        float(metrics["WVF_loss"]),
+                        float(metrics["WVF_postnet_loss"]),
+                        float(metrics["attn_binarization_loss"]),
+                    ),
+                    f"Current Learning Rate is {cfg.learning_rate:.6f}.",
+                    "Time Used: {:.3f}s, Estimated Remaining: {:.3f}s.".format(
+                        elapsed, (total_step - iteration) * timer.mean
+                    ),
+                )
+                name = os.path.basename(audiopaths[0]) if audiopaths else ""
+                out_len = int(batch["output_lengths"][0])
+                in_len = int(batch["input_lengths"][0])
+                soft = np.asarray(metrics["attn_soft_0"])[:out_len, :in_len].T
+                hard = np.asarray(metrics["attn_hard_0"])[:out_len, :in_len].T
+                logger.add_image(
+                    "train/attention_weights(align_soft)",
+                    plot_alignment_to_numpy(soft, title=name), iteration)
+                logger.add_image(
+                    "train/attention_weights_mas(align_hard)",
+                    plot_alignment_to_numpy(hard, title=name), iteration)
+
+            if iteration % cfg.save_step == 0:
+                path = os.path.join(cfg.checkpoint_path, f"checkpoint_{iteration}")
+                ckpt.save_checkpoint(path, jax.device_get(state))
+                print(f"save model at step {iteration} ...")
+
+            if args.max_steps and iteration >= args.max_steps:
+                logger.flush()
+                return state
+    logger.flush()
+    return state
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--frozen_learning_rate", type=bool, default=False)
+    parser.add_argument("--learning_rate_frozen", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_steps", type=int, default=0)
+    parser.add_argument("--scalar_log_step", type=int, default=1)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -44,14 +44,22 @@ class T2VTrainState(NamedTuple):
 
 def make_optimizer(cfg: Text2VecConfig) -> optax.GradientTransformation:
     """LAMB exactly as configured (text2vec/hparams.py:72-76); the reference's
-    warmup scale is disabled (optimizer.py:19-21) so the lr is constant."""
-    return optax.lamb(
+    warmup scale is disabled (optimizer.py:19-21) so the lr is constant.
+    Hyperparams are injected so the frozen-lr mode (train.py:378-380) can
+    overwrite the lr on the optimizer state."""
+    return optax.inject_hyperparams(optax.lamb)(
         learning_rate=cfg.learning_rate,
         b1=cfg.beta1,
         b2=cfg.beta2,
         eps=cfg.epsilon,
         weight_decay=cfg.weight_decay,
     )
+
+
+def set_learning_rate(state: "T2VTrainState", lr: float) -> "T2VTrainState":
+    """Frozen-lr mode (reference: optimizer.py:29-35, train.py:378-380)."""
+    state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state
 
 
 def init_state(

@@ -1,0 +1,179 @@
+"""Vec2Wav GAN end-to-end training loop (reference: vec2wav/train.py:57-335).
+
+Mirrors the reference CLI:
+    python -m wavthruvec_pytorch_tpu.train.vec2wav_loop \
+        --training_epochs 100 --stdout_interval 50 [--fine_tuning ...]
+
+Flow: filelists -> VocoderDataset/Loader -> jitted GAN step (D then G vs the
+updated D, in-graph mel loss) -> stdout every stdout_interval, g_/do_ orbax
+checkpoints every save_step with auto-resume from the latest, TB scalars at
+log_step, validation (mel L1 + audio/figures for <=4 items) at val_step,
+per-epoch ExponentialLR 0.999.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavthruvec_pytorch_tpu import checkpoint as ckpt
+from wavthruvec_pytorch_tpu.config import Vec2WavConfig, save_config
+from wavthruvec_pytorch_tpu.data.vocoder_data import (
+    VocoderDataset,
+    VocoderLoader,
+    get_dataset_filelist,
+    pad_vocoder_batch,
+)
+from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
+from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch
+from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
+from wavthruvec_pytorch_tpu.utils.logging import TrainLogger
+from wavthruvec_pytorch_tpu.utils.plots import plot_spectrogram
+
+
+def validate(models, cfg, state, validset, logger, steps, max_items: int = 4):
+    """Reference validation (vec2wav/train.py:246-291, minus the stray
+    pdb.set_trace): full synth, mel L1, TB audio + spectrogram figures."""
+    rng = jax.random.PRNGKey(steps)
+    val_err_tot, n = 0.0, 0
+    for j in range(min(len(validset), 16)):
+        batch = pad_vocoder_batch([validset[j]], cfg)
+        noise = jax.random.normal(jax.random.fold_in(rng, j), (1, cfg.noise_dim))
+        y_hat = models.gen.apply(
+            {"params": state.gen_params,
+             "batch_stats": state.gen_batch_stats,
+             "spectral": state.gen_spectral},
+            jnp.asarray(batch["wv_feat"]), jnp.asarray(batch["spk_emb"]),
+            noise, train=False,
+        )
+        y_hat_mel = mel_spectrogram(
+            y_hat[..., 0], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+            cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
+        ).transpose(0, 2, 1)
+        y_mel = jnp.asarray(batch["mel_loss"])[:, : y_hat_mel.shape[1], :]
+        val_err_tot += float(jnp.mean(jnp.abs(y_mel - y_hat_mel)))
+        n += 1
+        if j <= max_items:
+            wav = np.asarray(y_hat)[0, :, 0]
+            logger.add_audio(f"generated/y_hat_{j}", wav[None], steps, cfg.sampling_rate)
+            spec = np.asarray(y_hat_mel)[0].T
+            logger.add_figure(
+                f"generated/y_hat_spec_{j}", plot_spectrogram(spec), steps
+            )
+    if n:
+        logger.add_scalar("validation/mel_spec_error", val_err_tot / n, steps)
+    return val_err_tot / max(n, 1)
+
+
+def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig] = None):
+    if args is None:
+        args = parse_args([])
+    if cfg is None:
+        cfg = Vec2WavConfig()
+
+    print("Initializing Training Process.. (TPU-native)")
+    training_files, validation_files = get_dataset_filelist(
+        cfg.input_training_file, cfg.input_validation_file
+    )
+    trainset = VocoderDataset(
+        training_files, cfg, fine_tuning=args.fine_tuning,
+        base_mels_path=args.input_mels_dir,
+    )
+    loader = VocoderLoader(trainset, cfg.batch_size, seed=cfg.seed)
+    validset = VocoderDataset(
+        validation_files, cfg, fine_tuning=args.fine_tuning,
+        base_mels_path=args.input_mels_dir, split=False,
+    )
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = create_mesh()
+        print(f"data-parallel mesh over {mesh.devices.size} devices")
+
+    first = next(loader.epoch())
+    first.pop("filenames", None)
+    first_j = {k: jnp.asarray(v) for k, v in first.items()}
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(cfg.seed), first_j)
+    step_fn, _ = v2w.make_train_step(models, cfg, mesh=mesh)
+
+    # auto-resume from the latest g_/do_ (reference: train.py:74-89)
+    os.makedirs(cfg.checkpoint_path, exist_ok=True)
+    steps, last_epoch = 0, -1
+    cp = ckpt.scan_checkpoint(cfg.checkpoint_path, "state_")
+    if cp is not None:
+        state = ckpt.restore_checkpoint(cp, state)
+        steps = int(state.step) + 1
+        last_epoch = steps // max(len(loader), 1)
+        print(f"resumed from {cp} at step {steps}")
+
+    save_config(cfg, os.path.join(cfg.run_path, cfg.log_seed, "config.json"))
+    logger = TrainLogger(cfg.tensorboard_logs_path, cfg.logger_path)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    for epoch in range(max(0, last_epoch), args.training_epochs):
+        start = time.time()
+        print("Epoch: {}".format(epoch + 1))
+        # per-epoch ExponentialLR (train.py:104-105, 295-296)
+        lr = cfg.learning_rate * (cfg.lr_decay ** epoch)
+        state = state._replace(
+            opt_g_state=v2w.set_learning_rate(state.opt_g_state, lr),
+            opt_d_state=v2w.set_learning_rate(state.opt_d_state, lr),
+        )
+        for batch in loader.epoch():
+            start_b = time.time()
+            batch.pop("filenames", None)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+
+            if steps % args.stdout_interval == 0:
+                print(
+                    "Steps : {:d}, Gen Loss Total : {:4.3f}, Mel-Spec. Error : "
+                    "{:4.3f}, s/b : {:4.3f}".format(
+                        steps, float(metrics["gen_loss_total"]),
+                        float(metrics["mel_spec_error"]), time.time() - start_b,
+                    )
+                )
+            if steps % cfg.save_step == 0 and steps != 0:
+                path = os.path.join(cfg.checkpoint_path, f"state_{steps:08d}")
+                ckpt.save_checkpoint(path, jax.device_get(state))
+            if steps % cfg.log_step == 0:
+                logger.add_scalar("training/gen_loss_total",
+                                  float(metrics["gen_loss_total"]), steps)
+                logger.add_scalar("training/mel_spec_error",
+                                  float(metrics["mel_spec_error"]), steps)
+            if steps % cfg.val_step == 0 and steps != 0:
+                validate(models, cfg, state, validset, logger, steps)
+            steps += 1
+            if args.max_steps and steps >= args.max_steps:
+                logger.flush()
+                return state
+        print("Time taken for epoch {} is {} sec\n".format(
+            epoch + 1, int(time.time() - start)))
+    logger.flush()
+    return state
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--group_name", default=None)
+    parser.add_argument("--input_wavs_dir", default="LJSpeech-1.1/wavs")
+    parser.add_argument("--input_mels_dir", default="ft_dataset")
+    parser.add_argument("--training_epochs", default=100, type=int)
+    parser.add_argument("--stdout_interval", default=50, type=int)
+    parser.add_argument("--validation_interval", default=1000, type=int)
+    parser.add_argument("--fine_tuning", default=False, type=bool)
+    parser.add_argument("--max_steps", type=int, default=0)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())
