@@ -252,3 +252,28 @@ def test_beta_binomial_prior_matches_scipy():
         np.testing.assert_allclose(got[i - 1], expected, atol=1e-12)
     # rows are distributions
     np.testing.assert_allclose(got.sum(axis=1), 1.0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Pallas MAS kernel (interpret mode on CPU; compiled path covered on TPU)
+# ---------------------------------------------------------------------------
+
+def test_mas_pallas_matches_oracle_interpret():
+    from wavthruvec_pytorch_tpu.ops.mas_pallas import mas_width1_pallas
+
+    B, T, N = 3, 40, 8
+    out_lens = np.array([40, 23, 9])
+    in_lens = np.array([8, 5, 3])
+    attn = np.zeros((B, T, N), np.float32)
+    expected = np.zeros_like(attn)
+    for b in range(B):
+        sub = _random_attn(out_lens[b], in_lens[b], seed=10 + b)
+        attn[b, : out_lens[b], : in_lens[b]] = sub
+        expected[b, : out_lens[b], : in_lens[b]] = mas_width1_numpy(sub)
+    got = np.asarray(
+        mas_width1_pallas(
+            jnp.asarray(attn), jnp.asarray(in_lens), jnp.asarray(out_lens),
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, expected)

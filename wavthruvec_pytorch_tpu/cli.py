@@ -1,0 +1,159 @@
+"""Unified CLI mirroring the reference entry points (train.sh:1-2,
+prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
+
+    python -m wavthruvec_pytorch_tpu.cli train-text2vec [--restore_step N ...]
+    python -m wavthruvec_pytorch_tpu.cli train-vec2wav  [--training_epochs N ...]
+    python -m wavthruvec_pytorch_tpu.cli eval-text2vec  [--step N --alpha A ...]
+    python -m wavthruvec_pytorch_tpu.cli prepare-data   [--wavs_path ... ]
+    python -m wavthruvec_pytorch_tpu.cli pre-spk-emb    [--wavs_root ...]
+    python -m wavthruvec_pytorch_tpu.cli synthesize     --text "..." [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+
+    if cmd == "train-text2vec":
+        from wavthruvec_pytorch_tpu.train import text2vec_loop
+
+        return text2vec_loop.main(text2vec_loop.parse_args(rest))
+    if cmd == "train-vec2wav":
+        from wavthruvec_pytorch_tpu.train import vec2wav_loop
+
+        return vec2wav_loop.main(vec2wav_loop.parse_args(rest))
+    if cmd == "eval-text2vec":
+        from wavthruvec_pytorch_tpu.infer import eval as t2v_eval
+
+        return t2v_eval.main(t2v_eval.parse_args(rest))
+    if cmd == "prepare-data":
+        return _prepare_data(rest)
+    if cmd == "pre-spk-emb":
+        return _pre_spk_emb(rest)
+    if cmd == "synthesize":
+        return _synthesize(rest)
+    print(f"unknown command: {cmd}\n{__doc__}")
+    return 1
+
+
+def _prepare_data(rest):
+    from wavthruvec_pytorch_tpu.data.ingest import Wav2VecFeaturizer, prepare_data
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--wavs_path", required=True)
+    p.add_argument("--feat_output_path", required=True)
+    p.add_argument("--label_file_path", required=True)
+    p.add_argument("--enc_train_list_path", default="./data/enc_train.txt")
+    p.add_argument("--enc_val_list_path", default="./data/enc_val.txt")
+    p.add_argument("--vocab_path", default="./data/vocab.txt")
+    p.add_argument("--model_path", default=None,
+                   help="local HF wav2vec2 checkpoint dir")
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--n_speakers", type=int, default=15)
+    p.add_argument("--n_files_per_speaker", type=int, default=40)
+    p.add_argument("--batch_size", type=int, default=8)
+    a = p.parse_args(rest)
+    featurizer = Wav2VecFeaturizer(a.model_path, random_init=a.random_init)
+    prepare_data(
+        a.wavs_path, a.feat_output_path, a.label_file_path,
+        a.enc_train_list_path, a.enc_val_list_path, a.vocab_path,
+        featurizer, a.n_speakers, a.n_files_per_speaker, a.batch_size,
+    )
+    return 0
+
+
+def _pre_spk_emb(rest):
+    from wavthruvec_pytorch_tpu.data.spk_emb import precompute_speaker_embeddings
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--wavs_root", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--n_files_per_speaker", type=int, default=50)
+    a = p.parse_args(rest)
+    embs = precompute_speaker_embeddings(
+        a.wavs_root, a.out_dir, n_files_per_speaker=a.n_files_per_speaker
+    )
+    print(f"wrote {len(embs)} speaker embeddings to {a.out_dir}")
+    return 0
+
+
+def _synthesize(rest):
+    import numpy as np
+
+    from wavthruvec_pytorch_tpu import checkpoint as ckpt
+    from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
+    from wavthruvec_pytorch_tpu.infer.synthesize import Synthesizer, write_wav
+    from wavthruvec_pytorch_tpu.models import Generator, Text2Vec
+    from wavthruvec_pytorch_tpu.text import TextFrontend
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--text", action="append", required=True)
+    p.add_argument("--ref_npy", required=True,
+                   help="wav2vec .npy of the reference speaker")
+    p.add_argument("--spk_emb", required=True, help=".npy/.pth speaker emb")
+    p.add_argument("--t2v_checkpoint", default=None)
+    p.add_argument("--gen_checkpoint", default=None)
+    p.add_argument("--vocab_path", default="./data/vocab.txt")
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--out_dir", default="./results")
+    a = p.parse_args(rest)
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    t2v_cfg = Text2VecConfig().with_vocab_from_file(a.vocab_path)
+    v2w_cfg = Vec2WavConfig()
+    frontend = TextFrontend.from_vocab_file(a.vocab_path)
+    t2v = Text2Vec(t2v_cfg)
+    gen = Generator(v2w_cfg)
+    rng = jax.random.PRNGKey(0)
+    ref = np.load(a.ref_npy).squeeze()[None]
+    t2v_vars = t2v.init(
+        {"params": rng, "dropout": rng},
+        jnp.ones((1, 8), jnp.int32), jnp.arange(1, 9, dtype=jnp.int32)[None],
+        jnp.asarray(ref, jnp.float32), 64, 1.0, method=Text2Vec.infer,
+    )
+    if a.t2v_checkpoint:
+        if a.t2v_checkpoint.endswith(".pth.tar"):
+            sd = ckpt.load_torch_state_dict(a.t2v_checkpoint, key="model")
+            t2v_vars = ckpt.import_text2vec(sd, t2v_cfg)
+        else:
+            t2v_vars = ckpt.restore_checkpoint(a.t2v_checkpoint, t2v_vars)
+    from wavthruvec_pytorch_tpu.data.vocoder_data import load_spk_emb
+
+    spk = load_spk_emb(a.spk_emb)[None]
+    gen_vars = gen.init(
+        rng, jnp.zeros((1, 8, v2w_cfg.n_feat_dim)), jnp.asarray(spk),
+        jnp.zeros((1, v2w_cfg.noise_dim)), train=False,
+    )
+    if a.gen_checkpoint:
+        if os.path.isdir(a.gen_checkpoint):
+            gen_vars = ckpt.restore_checkpoint(a.gen_checkpoint, gen_vars)
+        else:  # reference torch g_XXXXXXXX
+            sd = ckpt.load_torch_state_dict(a.gen_checkpoint, key="generator")
+            gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
+
+    synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend)
+    ref_b = np.repeat(ref, len(a.text), axis=0)
+    spk_b = np.repeat(spk, len(a.text), axis=0)
+    wavs, n_samples = synth.synthesize(a.text, ref_b, spk_b, alpha=a.alpha)
+    os.makedirs(a.out_dir, exist_ok=True)
+    for i, (w, n) in enumerate(zip(wavs, n_samples)):
+        path = os.path.join(a.out_dir, f"synth_{i}.wav")
+        write_wav(path, w[: int(n)])
+        print(f"{path}: {int(n) / 16000:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -140,21 +140,22 @@ def wav_to_fbank(
     x = _pre_emphasis(wav)
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    n = np.arange(win_length, dtype=np.float64)
-    hamming = (0.54 - 0.46 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
-    win = np.zeros(n_fft, dtype=np.float32)
-    off = (n_fft - win_length) // 2
-    win[off : off + win_length] = hamming
+    # windowed DFT basis built in-graph from iota (baked literals bloat HLO)
     n_freq = n_fft // 2 + 1
-    t = np.arange(n_fft, dtype=np.float64)
-    k = np.arange(n_freq, dtype=np.float64)[:, None]
-    ang = 2.0 * np.pi * k * t[None, :] / n_fft
-    kernel = np.concatenate(
-        [np.cos(ang) * win[None, :], -np.sin(ang) * win[None, :]], axis=0
-    )[:, None, :].astype(np.float32)
+    t = lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 1)
+    k = lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 0)
+    ang = 2.0 * jnp.pi * k * t / n_fft
+    off = (n_fft - win_length) // 2
+    pos = lax.broadcasted_iota(jnp.float32, (1, n_fft), 1)
+    in_win = jnp.logical_and(pos >= off, pos < off + win_length)
+    hamming = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * (pos - off) / win_length)
+    win = jnp.where(in_win, hamming, 0.0)
+    kernel = jnp.concatenate(
+        [jnp.cos(ang) * win, -jnp.sin(ang) * win], axis=0
+    )[:, None, :]
     spec = lax.conv_general_dilated(
         x[:, None, :],
-        jnp.asarray(kernel),
+        kernel,
         window_strides=(hop_length,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),

@@ -37,7 +37,7 @@ from wavthruvec_pytorch_tpu.ops.masking import (
     get_non_pad_mask,
     positions_from_lengths,
 )
-from wavthruvec_pytorch_tpu.ops.positional import sinusoid_encoding_table
+from wavthruvec_pytorch_tpu.ops.positional import sinusoid_encoding_table_jnp
 
 
 class Encoder(nn.Module):
@@ -61,8 +61,8 @@ class Encoder(nn.Module):
         # padding_idx=0 keeps the pad row at zero (model.py:88-90)
         text_emb = text_emb * non_pad_mask
 
-        pos_table = jnp.asarray(
-            sinusoid_encoding_table(cfg.vocab_size + 1, cfg.encoder_dim, padding_idx=0)
+        pos_table = sinusoid_encoding_table_jnp(
+            cfg.vocab_size + 1, cfg.encoder_dim, padding_idx=0
         )
         enc_output = text_emb + jnp.take(pos_table, src_pos, axis=0)
 
@@ -118,8 +118,8 @@ class Decoder(nn.Module):
         non_pad_mask = get_non_pad_mask(enc_pos)
 
         d_model = cfg.decoder_model_dim
-        pos_table = jnp.asarray(
-            sinusoid_encoding_table(cfg.max_seq_len + 1, d_model, padding_idx=0)
+        pos_table = sinusoid_encoding_table_jnp(
+            cfg.max_seq_len + 1, d_model, padding_idx=0
         )
         # clamp so padded buckets longer than max_seq_len cannot OOB-gather
         pos_ids = jnp.minimum(enc_pos, cfg.max_seq_len)

@@ -7,7 +7,9 @@ a frozen constant; we build it once on host in float64 then cast.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def sinusoid_encoding_table(
@@ -22,3 +24,21 @@ def sinusoid_encoding_table(
     if padding_idx is not None:
         table[padding_idx] = 0.0
     return table.astype(np.float32)
+
+
+def sinusoid_encoding_table_jnp(
+    n_position: int, d_hid: int, padding_idx: int | None = None
+) -> jnp.ndarray:
+    """In-graph twin of ``sinusoid_encoding_table`` built from iota — a large
+    host-built table baked as an HLO literal bloats every compile (and this
+    environment's compile transport rejects multi-MB programs), so the table
+    is computed on device instead (a one-off elementwise op XLA folds)."""
+    pos = lax.broadcasted_iota(jnp.float32, (n_position, d_hid), 0)
+    dim = lax.broadcasted_iota(jnp.int32, (n_position, d_hid), 1)
+    exponent = (2.0 * jnp.floor(dim.astype(jnp.float32) / 2.0)) / d_hid
+    angles = pos / jnp.power(10000.0, exponent)
+    table = jnp.where(dim % 2 == 0, jnp.sin(angles), jnp.cos(angles))
+    if padding_idx is not None:
+        row = lax.broadcasted_iota(jnp.int32, (n_position, d_hid), 0)
+        table = jnp.where(row == padding_idx, 0.0, table)
+    return table

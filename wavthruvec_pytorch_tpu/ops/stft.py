@@ -113,6 +113,28 @@ def _dft_kernel(n_fft: int, win_size: int) -> np.ndarray:
     return kernel.astype(np.float32)
 
 
+def _dft_kernel_jnp(n_fft: int, win_size: int) -> jnp.ndarray:
+    """In-graph twin of ``_dft_kernel`` built from iota: multi-MB HLO
+    literals bloat compiles (and this environment's compile transport caps
+    program size), so the windowed DFT basis is computed on device — XLA
+    folds it once."""
+    from jax import lax
+
+    n_freq = n_fft // 2 + 1
+    n = lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 1)
+    k = lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 0)
+    ang = 2.0 * jnp.pi * k * n / n_fft
+    # periodic Hann, centered when win_size < n_fft (torch.stft semantics)
+    off = (n_fft - win_size) // 2
+    pos = lax.broadcasted_iota(jnp.float32, (1, n_fft), 1)
+    in_win = jnp.logical_and(pos >= off, pos < off + win_size)
+    hann = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * (pos - off) / win_size))
+    win = jnp.where(in_win, hann, 0.0)
+    real = jnp.cos(ang) * win
+    imag = -jnp.sin(ang) * win
+    return jnp.concatenate([real, imag], axis=0)[:, None, :]
+
+
 def stft_magnitude(
     y: jnp.ndarray,
     n_fft: int,
@@ -129,7 +151,7 @@ def stft_magnitude(
     if center:
         pad = n_fft // 2
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
-    kernel = jnp.asarray(_dft_kernel(n_fft, win_size))
+    kernel = _dft_kernel_jnp(n_fft, win_size)
     spec = lax.conv_general_dilated(
         y[:, None, :].astype(jnp.float32),
         kernel,
