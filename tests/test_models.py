@@ -241,3 +241,35 @@ def test_config_roundtrip(tmp_path):
     cfg2 = load_config(Text2VecConfig, p)
     assert cfg2.learning_rate == 0.05
     assert cfg2.fft_conv1d_kernel == cfg.fft_conv1d_kernel
+
+
+def test_ecapa_lawlict_shapes():
+    """Alternative ECAPA variant (reference shape probe:
+    ecapa_tdnn_lawlict.py:156-162: [2, 200, 80] -> [2, 192])."""
+    from wavthruvec_pytorch_tpu.models.ecapa_lawlict import ECAPA_TDNN_Lawlict
+
+    m = ECAPA_TDNN_Lawlict(in_channels=80, channels=64, embd_dim=192)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 50, 80)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (2, 192)
+
+
+def test_generator_folded_weight_norm_matches():
+    """fold_weight_norm export path == normalized path (remove_weight_norm
+    analog, vec2wav/models.py:149-156)."""
+    from wavthruvec_pytorch_tpu.models.vec2wav import fold_weight_norm
+
+    cfg = V2W_SMALL
+    gen = Generator(cfg)
+    gen_folded = Generator(cfg, folded=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 7, cfg.n_feat_dim)), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((2, cfg.spk_dim)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((2, cfg.noise_dim)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(3), x, spk, noise, train=False)
+    y_ref = gen.apply(variables, x, spk, noise, train=False)
+    folded_vars = dict(variables)
+    folded_vars["params"] = fold_weight_norm(variables["params"])
+    y_folded = gen_folded.apply(folded_vars, x, spk, noise, train=False)
+    np.testing.assert_allclose(np.asarray(y_folded), np.asarray(y_ref), atol=1e-5)

@@ -147,14 +147,43 @@ class VocoderDataset:
         if not self.fine_tuning:
             audio = normalize(audio) * 0.95
 
-        if self.split and not self.fine_tuning:
-            # windowed-generator mode (reference defines it but leaves it off
-            # in the train loop — dataset.py:146-154, train.py:109-112)
-            if len(audio) >= cfg.segment_size:
-                start = int(self.rng.integers(0, len(audio) - cfg.segment_size + 1))
-                audio = audio[start : start + cfg.segment_size]
-            else:
-                audio = np.pad(audio, (0, cfg.segment_size - len(audio)))
+        if not self.fine_tuning:
+            if self.split:
+                # windowed-generator mode (reference defines it but leaves it
+                # off in the train loop — dataset.py:146-154, train.py:109-112)
+                if len(audio) >= cfg.segment_size:
+                    start = int(
+                        self.rng.integers(0, len(audio) - cfg.segment_size + 1)
+                    )
+                    audio = audio[start : start + cfg.segment_size]
+                else:
+                    audio = np.pad(audio, (0, cfg.segment_size - len(audio)))
+        else:
+            # fine-tuning branch: precomputed mels from disk
+            # (reference: dataset.py:158-175)
+            mel = np.load(
+                os.path.join(
+                    self.base_mels_path,
+                    os.path.splitext(os.path.split(filename)[-1])[0] + ".npy",
+                )
+            )
+            mel = np.asarray(mel).squeeze()
+            if self.split:
+                frames_per_seg = math.ceil(cfg.segment_size / cfg.hop_size)
+                if len(audio) >= cfg.segment_size:
+                    mel_start = int(
+                        self.rng.integers(
+                            0, max(mel.shape[0] - frames_per_seg - 1, 1)
+                        )
+                    )
+                    mel = mel[mel_start : mel_start + frames_per_seg]
+                    audio = audio[
+                        mel_start * cfg.hop_size : (mel_start + frames_per_seg)
+                        * cfg.hop_size
+                    ]
+                else:
+                    mel = np.pad(mel, ((0, frames_per_seg - mel.shape[0]), (0, 0)))
+                    audio = np.pad(audio, (0, cfg.segment_size - len(audio)))
 
         mel_loss = mel_spectrogram_np(
             audio, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,

@@ -287,6 +287,7 @@ class WNConv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     w_std: Optional[float] = None
+    folded: bool = False  # inference export: v pre-folded, skip normalization
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -306,7 +307,7 @@ class WNConv1d(nn.Module):
             ),
             (1, 1, self.features),
         )
-        kernel = _weight_norm_kernel(v, g)
+        kernel = v if self.folded else _weight_norm_kernel(v, g)
         bias = (
             self.param("bias", torch_default_bias_init(fan_in), (self.features,))
             if self.use_bias
@@ -342,6 +343,7 @@ class WNConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     w_std: Optional[float] = 0.01  # HiFi-GAN init_weights
+    folded: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -359,7 +361,7 @@ class WNConvTranspose1d(nn.Module):
         # channel (dim 0 of [in, out, k]) == flax axis 1 of (k, in, out).
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True) + 1e-32)
         g = self.param("g", lambda key, shape: norm, (1, in_ch, 1))
-        kernel = g * v / norm
+        kernel = v if self.folded else g * v / norm
         bias = (
             self.param("bias", torch_default_bias_init(fan_in), (self.features,))
             if self.use_bias

@@ -80,6 +80,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3, 5)
+    folded: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -92,6 +93,7 @@ class ResBlock1(nn.Module):
                 dilation=d,
                 padding=get_padding(self.kernel_size, d),
                 w_std=0.01,
+                folded=self.folded,
                 dtype=self.dtype,
                 name=f"convs1_{i}",
             )(xt)
@@ -102,6 +104,7 @@ class ResBlock1(nn.Module):
                 dilation=1,
                 padding=get_padding(self.kernel_size, 1),
                 w_std=0.01,
+                folded=self.folded,
                 dtype=self.dtype,
                 name=f"convs2_{i}",
             )(xt)
@@ -115,6 +118,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3)
+    folded: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -127,6 +131,7 @@ class ResBlock2(nn.Module):
                 dilation=d,
                 padding=get_padding(self.kernel_size, d),
                 w_std=0.01,
+                folded=self.folded,
                 dtype=self.dtype,
                 name=f"convs_{i}",
             )(xt)
@@ -139,6 +144,7 @@ class Generator(nn.Module):
     -> waveform [B, 320*T, 1] (reference: models.py:77-147)."""
 
     cfg: Vec2WavConfig
+    folded: bool = False  # inference export with pre-folded weight norm
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -158,6 +164,7 @@ class Generator(nn.Module):
             kernel_size=7,
             padding=3,
             w_std=None,  # conv_pre keeps torch-default init
+            folded=self.folded,
             dtype=self.dtype,
             name="conv_pre",
         )(x)
@@ -171,6 +178,7 @@ class Generator(nn.Module):
                 stride=u,
                 padding=(k - u) // 2,
                 w_std=0.01,
+                folded=self.folded,
                 dtype=self.dtype,
                 name=f"ups_{i}",
             )(x)
@@ -185,6 +193,7 @@ class Generator(nn.Module):
                     ch,
                     kernel_size=rk,
                     dilation=rd,
+                    folded=self.folded,
                     dtype=self.dtype,
                     name=f"resblocks_{i * num_kernels + j}",
                 )(x)
@@ -193,7 +202,8 @@ class Generator(nn.Module):
 
         x = nn.leaky_relu(x)  # default slope 0.01 (models.py:143)
         x = WNConv1d(
-            1, kernel_size=7, padding=3, w_std=0.01, dtype=self.dtype, name="conv_post"
+            1, kernel_size=7, padding=3, w_std=0.01, folded=self.folded,
+            dtype=self.dtype, name="conv_post",
         )(x)
         return jnp.tanh(x)
 
@@ -394,3 +404,35 @@ def generator_loss(disc_outputs):
         gen_losses.append(l)
         loss += l
     return loss, gen_losses
+
+
+def fold_weight_norm(params):
+    """Inference export: pre-fold every weight-norm (v, g) pair so the folded
+    Generator (``Generator(cfg, folded=True)``) uses v directly as the kernel
+    — the TPU analog of the reference's ``remove_weight_norm``
+    (vec2wav/models.py:149-156).
+
+    Works on any params subtree: wherever a dict holds both 'v' and 'g', v is
+    replaced by the normalized kernel (the norm reduces over exactly the axes
+    where g has size 1) and g by the folded kernel's norms.
+    """
+    import numpy as np
+
+    def fold(node):
+        if isinstance(node, dict):
+            if "v" in node and "g" in node:
+                v = np.asarray(node["v"])
+                g = np.asarray(node["g"])
+                axes = tuple(d for d in range(v.ndim) if g.shape[d] == 1)
+                norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True) + 1e-32)
+                kernel = g * v / norm
+                new = dict(node)
+                new["v"] = kernel
+                new["g"] = np.sqrt(
+                    np.sum(kernel * kernel, axis=axes, keepdims=True) + 1e-32
+                )
+                return new
+            return {k: fold(x) for k, x in node.items()}
+        return node
+
+    return fold(params if isinstance(params, dict) else dict(params))

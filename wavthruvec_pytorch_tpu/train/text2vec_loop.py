@@ -127,7 +127,12 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             rng, sub = jax.random.split(rng)
+            # profiling hook (aux subsystem the reference lacks, SURVEY.md §5)
+            if args.profile_dir and iteration == 3:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = step_fn(state, batch, sub)
+            if args.profile_dir and iteration == 8:
+                jax.profiler.stop_trace()
             iteration += 1
             timer.tick()
 
@@ -182,6 +187,8 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=0)
     parser.add_argument("--scalar_log_step", type=int, default=1)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of steps 3-8")
     return parser.parse_args(argv)
 
 

@@ -62,6 +62,22 @@ def set_learning_rate(state: "T2VTrainState", lr: float) -> "T2VTrainState":
     return state
 
 
+def noam_warmup_schedule(init_lr: float, n_warmup_steps: int):
+    """The reference's (disabled) warmup-decay schedule — ScheduledOptim
+    ``_get_lr_scale`` = min(step^-0.5, step * warmup^-1.5) * init_lr
+    (text2vec/optimizer.py:34-45).  Available for callers who re-enable it;
+    the default optimizer keeps the reference's constant lr."""
+
+    def schedule(step):
+        step = jnp.maximum(step.astype(jnp.float32), 1.0)
+        scale = jnp.minimum(
+            jax.lax.rsqrt(step), step * (n_warmup_steps ** -1.5)
+        )
+        return init_lr * scale
+
+    return schedule
+
+
 def init_state(
     cfg: Text2VecConfig, rng: jax.Array, sample_batch: Dict[str, jnp.ndarray]
 ) -> Tuple[Text2Vec, T2VTrainState]:
