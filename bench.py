@@ -73,9 +73,9 @@ def _build_ours():
         wav = gen.apply(gen_vars, latents, spk, noise, train=False)
         return jnp.sum(wav[0, ::1024, 0])
 
-    def make_loop(n_iters, include_t2v):
+    def make_loop(include_t2v):
         @jax.jit
-        def run():
+        def run(n_iters):  # traced trip count: one compile serves all n
             def body(i, carry):
                 return carry + one_iter(i, carry, include_t2v)
 
@@ -83,16 +83,15 @@ def _build_ours():
 
         return run
 
-    def timed(include_t2v, n=16):
-        f1 = make_loop(1, include_t2v)
-        fn = make_loop(n, include_t2v)
-        float(f1())  # compile + warm
-        float(fn())
-        t0 = time.perf_counter(); float(f1()); t1 = time.perf_counter()
-        float_ = float(fn()); t2 = time.perf_counter()
-        del float_
-        per_iter = ((t2 - t1) - (t1 - t0)) / (n - 1)
-        return max(per_iter, 1e-9)
+    def timed(include_t2v, n1=2, n2=18, reps=3):
+        run = make_loop(include_t2v)
+        float(run(1))  # compile + warm
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(run(n1)); t1 = time.perf_counter()
+            float(run(n2)); t2 = time.perf_counter()
+            samples.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return max(float(np.median(samples)), 1e-9)
 
     audio_seconds = N_FRAMES * v2w_cfg.total_upsample / v2w_cfg.sampling_rate
     e2e_s = timed(include_t2v=True)

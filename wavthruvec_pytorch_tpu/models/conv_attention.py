@@ -28,7 +28,10 @@ _MASK_VALUE = -1e9
 class ConvAttention(nn.Module):
     n_feat_channels: int = 1024  # query (wav2vec frame) channels
     n_text_channels: int = 448  # key (encoder output) channels
-    n_att_channels: int = 1024
+    # the reference constructs ConvAttention with two positional args only
+    # (model.py:219-222), so n_att_channels keeps its ctor default 80
+    # (module.py:456-457)
+    n_att_channels: int = 80
     temperature: float = 0.0005  # module.py:522 overrides the ctor arg
 
     @nn.compact
