@@ -161,9 +161,11 @@ class Text2Vec(nn.Module):
             cfg.dropout,
             dtype=self.dtype,
         )
-        self.WVF_linear = Linear(cfg.n_feat_dim, w_init_gain="linear")
-        self.postnet = CBHG(cfg.n_feat_dim, K=8, projections=(256, cfg.n_feat_dim))
-        self.last_linear = Linear(cfg.n_feat_dim, w_init_gain="linear")
+        self.WVF_linear = Linear(cfg.n_feat_dim, w_init_gain="linear", dtype=self.dtype)
+        self.postnet = CBHG(
+            cfg.n_feat_dim, K=8, projections=(256, cfg.n_feat_dim), dtype=self.dtype
+        )
+        self.last_linear = Linear(cfg.n_feat_dim, w_init_gain="linear", dtype=self.dtype)
         if cfg.learn_alignments:
             n_text_ch = (
                 cfg.encoder_dim + cfg.n_speaker_dim

@@ -81,7 +81,8 @@ def noam_warmup_schedule(init_lr: float, n_warmup_steps: int):
 def init_state(
     cfg: Text2VecConfig, rng: jax.Array, sample_batch: Dict[str, jnp.ndarray]
 ) -> Tuple[Text2Vec, T2VTrainState]:
-    model = Text2Vec(cfg)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = Text2Vec(cfg, dtype=dtype)
     p_rng, d_rng = jax.random.split(rng)
     variables = model.init(
         {"params": p_rng, "dropout": d_rng},

@@ -80,9 +80,10 @@ def set_learning_rate(opt_state, lr: float):
 def init_state(
     cfg: Vec2WavConfig, rng: jax.Array, sample_batch: Dict[str, jnp.ndarray]
 ) -> Tuple[V2WModels, GANTrainState]:
-    gen = Generator(cfg)
-    mpd = MultiPeriodDiscriminator(cfg)
-    msd = MultiScaleDiscriminator()
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    gen = Generator(cfg, dtype=dtype)
+    mpd = MultiPeriodDiscriminator(cfg, dtype=dtype)
+    msd = MultiScaleDiscriminator(dtype=dtype)
 
     g_rng, d_rng, n_rng = jax.random.split(rng, 3)
     noise = jax.random.normal(
