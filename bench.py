@@ -32,6 +32,22 @@ import numpy as np
 N_FRAMES = 500  # 10 s of 16 kHz audio at x320 upsampling
 
 
+def _enable_compile_cache():
+    """Remote compiles through the axon tunnel take minutes per program;
+    the persistent cache makes repeat runs (and driver re-runs) fast."""
+    try:
+        import jax
+
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def _build_ours():
     import jax
     import jax.numpy as jnp

@@ -95,6 +95,9 @@ class Text2VecConfig:
     # --- TPU-native additions (no reference equivalent) ---
     # compute dtype for matmuls/convs; params stay float32.
     compute_dtype: str = "float32"
+    # rematerialize FFT blocks in the backward pass (trades FLOPs for HBM on
+    # long frame buckets)
+    remat: bool = False
     # static shape buckets for jit-cache friendliness: text lengths and frame
     # lengths are padded up to the nearest bucket edge.
     text_buckets: Tuple[int, ...] = (32, 64, 128)

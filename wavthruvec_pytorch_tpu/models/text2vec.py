@@ -84,8 +84,11 @@ class Encoder(nn.Module):
 
         d_model = cfg.encoder_output_dim
         d_k = d_model // cfg.encoder_head
+        block_cls = (
+            nn.remat(FFTBlock, static_argnums=(4,)) if cfg.remat else FFTBlock
+        )
         for i in range(cfg.encoder_n_layer):
-            enc_output, _ = FFTBlock(
+            enc_output, _ = block_cls(
                 d_model,
                 cfg.encoder_conv1d_filter_size,
                 cfg.encoder_head,
@@ -96,12 +99,7 @@ class Encoder(nn.Module):
                 dropout=cfg.dropout,
                 dtype=self.dtype,
                 name=f"layer_stack_{i}",
-            )(
-                enc_output,
-                non_pad_mask=non_pad_mask,
-                slf_attn_mask=slf_attn_mask,
-                deterministic=deterministic,
-            )
+            )(enc_output, non_pad_mask, slf_attn_mask, deterministic)
         return enc_output, non_pad_mask, text_emb, spk_emb
 
 
@@ -126,8 +124,11 @@ class Decoder(nn.Module):
         dec_output = enc_seq + jnp.take(pos_table, pos_ids, axis=0)
 
         d_k = d_model // cfg.encoder_head  # reference uses encoder_head here (model.py:162)
+        block_cls = (
+            nn.remat(FFTBlock, static_argnums=(4,)) if cfg.remat else FFTBlock
+        )
         for i in range(cfg.decoder_n_layer):
-            dec_output, _ = FFTBlock(
+            dec_output, _ = block_cls(
                 d_model,
                 cfg.decoder_conv1d_filter_size,
                 cfg.decoder_head,
@@ -138,12 +139,7 @@ class Decoder(nn.Module):
                 dropout=cfg.dropout,
                 dtype=self.dtype,
                 name=f"layer_stack_{i}",
-            )(
-                dec_output,
-                non_pad_mask=non_pad_mask,
-                slf_attn_mask=slf_attn_mask,
-                deterministic=deterministic,
-            )
+            )(dec_output, non_pad_mask, slf_attn_mask, deterministic)
         return dec_output
 
 
