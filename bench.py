@@ -11,13 +11,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   config 1: precomputed latents -> 16 kHz wav; the reference publishes no
   numbers, so it is measured locally — torch in this image is CPU-only).
 
-Timing methodology: the runtime in this image does not implement a blocking
-``block_until_ready`` (verified: it returns immediately), so each timed
-region is a single jitted ``lax.fori_loop`` chaining ITERS full pipeline
-iterations — each iteration's inputs depend on the loop carry so XLA cannot
-hoist the body — followed by a scalar device->host fetch that forces
-completion.  Per-iteration time = (t_N - t_1) / (N - 1) to cancel the
-constant dispatch+fetch overhead.
+Timing methodology (axon runtime quirks):
+* ``block_until_ready`` does not actually block here, so every timed call
+  returns a SCALAR from the jitted program and is forced with a host fetch;
+* per-call dispatch+fetch overhead is measured with a null jitted program
+  and subtracted;
+* fori_loop-wrapping large model graphs explodes this compiler's time, so
+  iterations are separate dispatches of one compiled program with varying
+  inputs (no result caching exists across dispatches);
+* a persistent compilation cache keeps repeat runs fast.
 """
 
 from __future__ import annotations
@@ -33,8 +35,6 @@ N_FRAMES = 500  # 10 s of 16 kHz audio at x320 upsampling
 
 
 def _enable_compile_cache():
-    """Remote compiles through the axon tunnel take minutes per program;
-    the persistent cache makes repeat runs (and driver re-runs) fast."""
     try:
         import jax
 
@@ -48,10 +48,20 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
-def _build_ours():
+def _median_time(fn, args_list, warmup=3):
+    for a in args_list[:warmup]:
+        float(fn(a))
+    ts = []
+    for a in args_list[warmup:]:
+        t0 = time.perf_counter()
+        float(fn(a))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _build_ours(iters: int = 24):
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
     from wavthruvec_pytorch_tpu.models import Generator, Text2Vec
@@ -72,51 +82,39 @@ def _build_ours():
     t2v_vars = t2v.init({"params": r1, "dropout": r2}, src_seq, src_pos,
                         ref_feat, N_FRAMES, 1.0, method=Text2Vec.infer)
     spk = jax.random.normal(r3, (B, v2w_cfg.spk_dim))
-    latents0 = jnp.zeros((B, N_FRAMES, v2w_cfg.n_feat_dim))
     noise0 = jax.random.normal(r3, (B, v2w_cfg.noise_dim))
+    latents0 = jnp.zeros((B, N_FRAMES, v2w_cfg.n_feat_dim))
     gen_vars = gen.init(r3, latents0, spk, noise0, train=False)
 
-    def one_iter(i, carry, include_t2v):
-        # perturb inputs with the carry so the loop body can't be hoisted
-        eps = carry * 1e-20
-        noise = noise0 + eps
-        if include_t2v:
-            out = t2v.apply(t2v_vars, src_seq, src_pos, ref_feat + eps,
-                            N_FRAMES, 1.0, method=Text2Vec.infer)
-            latents = out["feat_postnet_output"]
-        else:
-            latents = latents0 + eps
-        wav = gen.apply(gen_vars, latents, spk, noise, train=False)
+    @jax.jit
+    def e2e_scalar(eps):
+        out = t2v.apply(t2v_vars, src_seq, src_pos, ref_feat + eps,
+                        N_FRAMES, 1.0, method=Text2Vec.infer)
+        wav = gen.apply(gen_vars, out["feat_postnet_output"], spk, noise0 + eps,
+                        train=False)
         return jnp.sum(wav[0, ::1024, 0])
 
-    def make_loop(include_t2v):
-        @jax.jit
-        def run(n_iters):  # traced trip count: one compile serves all n
-            def body(i, carry):
-                return carry + one_iter(i, carry, include_t2v)
-
-            return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
-
-        return run
-
-    def timed(include_t2v, n1=2, n2=18, reps=3):
-        run = make_loop(include_t2v)
-        float(run(1))  # compile + warm
-        samples = []
-        for _ in range(reps):
-            t0 = time.perf_counter(); float(run(n1)); t1 = time.perf_counter()
-            float(run(n2)); t2 = time.perf_counter()
-            samples.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
-        return max(float(np.median(samples)), 1e-9)
-
-    audio_seconds = N_FRAMES * v2w_cfg.total_upsample / v2w_cfg.sampling_rate
-    e2e_s = timed(include_t2v=True)
-    voc_s = timed(include_t2v=False)
-    # deterministic latents for the reference comparison
+    # real latents for the vocoder leg + reference comparison
     out = t2v.apply(t2v_vars, src_seq, src_pos, ref_feat, N_FRAMES, 1.0,
                     method=Text2Vec.infer)
-    latents = np.asarray(out["feat_postnet_output"])
-    return audio_seconds / e2e_s, audio_seconds / voc_s, latents
+    latents = out["feat_postnet_output"]
+
+    @jax.jit
+    def voc_scalar(eps):
+        wav = gen.apply(gen_vars, latents + eps, spk, noise0 + eps, train=False)
+        return jnp.sum(wav[0, ::1024, 0])
+
+    @jax.jit
+    def null_scalar(eps):
+        return eps * 2.0
+
+    eps_list = [jnp.float32(i) * 1e-20 for i in range(iters)]
+    overhead = _median_time(null_scalar, eps_list)
+    t_e2e = max(_median_time(e2e_scalar, eps_list) - overhead, 1e-9)
+    t_voc = max(_median_time(voc_scalar, eps_list) - overhead, 1e-9)
+
+    audio_seconds = N_FRAMES * v2w_cfg.total_upsample / v2w_cfg.sampling_rate
+    return audio_seconds / t_e2e, audio_seconds / t_voc, np.asarray(latents)
 
 
 def _measure_reference_vocoder(latents: np.ndarray, iters: int = 2):
