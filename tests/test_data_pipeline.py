@@ -205,3 +205,35 @@ def test_ingest_filelists_and_vocab(tmp_path):
 def test_build_vocab_from_texts():
     v = build_vocab_from_texts(["abc", "cab", "d"])
     assert v == "PE abcd"
+
+
+def test_gan_checkpoint_roundtrip(tmp_path, v2w_disk_dataset):
+    cfg = v2w_disk_dataset
+    from wavthruvec_pytorch_tpu.data.vocoder_data import (
+        VocoderDataset,
+        VocoderLoader,
+        get_dataset_filelist,
+    )
+    from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
+
+    train_files, _ = get_dataset_filelist(
+        cfg.input_training_file, cfg.input_validation_file
+    )
+    loader = VocoderLoader(VocoderDataset(train_files, cfg), cfg.batch_size)
+    batch = next(loader.epoch())
+    batch.pop("filenames")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = v2w.make_train_step(models, cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "gan_ckpt" / "state_00000001")
+    ckpt.save_checkpoint(path, jax.device_get(state))
+    restored = ckpt.restore_checkpoint(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state.gen_params),
+                    jax.tree_util.tree_leaves(restored.gen_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 1
+    # resumed state steps again
+    state2, metrics = step(restored, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["gen_loss_total"]))

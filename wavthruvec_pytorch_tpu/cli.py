@@ -118,10 +118,16 @@ def _synthesize(rest):
     gen = Generator(v2w_cfg)
     rng = jax.random.PRNGKey(0)
     ref = np.load(a.ref_npy).squeeze()[None]
+    # init through the train branch -> full param tree for restore
+    t_ref = ref.shape[1]
     t2v_vars = t2v.init(
         {"params": rng, "dropout": rng},
         jnp.ones((1, 8), jnp.int32), jnp.arange(1, 9, dtype=jnp.int32)[None],
-        jnp.asarray(ref, jnp.float32), 64, 1.0, method=Text2Vec.infer,
+        jnp.asarray(ref, jnp.float32),
+        jnp.array([8]), jnp.array([t_ref]),
+        jnp.arange(1, t_ref + 1, dtype=jnp.int32)[None],
+        attn_prior=jnp.ones((1, t_ref, 8)),
+        deterministic=True, train_bn=False,
     )
     if a.t2v_checkpoint:
         if a.t2v_checkpoint.endswith(".pth.tar"):

@@ -40,13 +40,18 @@ def load_model(cfg: Text2VecConfig, checkpoint_path: str, step: int):
     rng = jax.random.PRNGKey(0)
     import jax.numpy as jnp
 
+    # init through the TRAIN branch so the full param tree (incl. the
+    # ConvAttention the infer branch never calls) exists for restore
     dummy_text = jnp.ones((1, 8), jnp.int32)
     dummy_pos = jnp.arange(1, 9, dtype=jnp.int32)[None]
     dummy_feat = jnp.zeros((1, 16, cfg.n_feat_dim))
     variables = model.init(
         {"params": rng, "dropout": rng},
-        dummy_text, dummy_pos, dummy_feat, 32, 1.0,
-        method=Text2Vec.infer,
+        dummy_text, dummy_pos, dummy_feat,
+        jnp.array([8]), jnp.array([16]),
+        jnp.arange(1, 17, dtype=jnp.int32)[None],
+        attn_prior=jnp.ones((1, 16, 8)),
+        deterministic=True, train_bn=False,
     )
     path = os.path.join(checkpoint_path, f"checkpoint_{step}")
     if os.path.exists(path):
