@@ -79,12 +79,17 @@ def _build_ours(iters: int = 24):
          jnp.zeros((B, 2), jnp.int32)], axis=1)
     src_pos = jnp.where(src_seq != 0, jnp.arange(1, N + 1, dtype=jnp.int32)[None], 0)
     ref_feat = jax.random.normal(r2, (B, REF_T, t2v_cfg.n_feat_dim)) * 0.1
-    t2v_vars = t2v.init({"params": r1, "dropout": r2}, src_seq, src_pos,
-                        ref_feat, N_FRAMES, 1.0, method=Text2Vec.infer)
+    t2v_vars = jax.jit(
+        lambda k1, k2: t2v.init({"params": k1, "dropout": k2}, src_seq,
+                                src_pos, ref_feat, N_FRAMES, 1.0,
+                                method=Text2Vec.infer)
+    )(r1, r2)
     spk = jax.random.normal(r3, (B, v2w_cfg.spk_dim))
     noise0 = jax.random.normal(r3, (B, v2w_cfg.noise_dim))
     latents0 = jnp.zeros((B, N_FRAMES, v2w_cfg.n_feat_dim))
-    gen_vars = gen.init(r3, latents0, spk, noise0, train=False)
+    gen_vars = jax.jit(
+        lambda k: gen.init(k, latents0, spk, noise0, train=False)
+    )(r3)
 
     @jax.jit
     def e2e_scalar(eps):
@@ -95,9 +100,10 @@ def _build_ours(iters: int = 24):
         return jnp.sum(wav[0, ::1024, 0])
 
     # real latents for the vocoder leg + reference comparison
-    out = t2v.apply(t2v_vars, src_seq, src_pos, ref_feat, N_FRAMES, 1.0,
-                    method=Text2Vec.infer)
-    latents = out["feat_postnet_output"]
+    latents = jax.jit(
+        lambda v: t2v.apply(v, src_seq, src_pos, ref_feat, N_FRAMES, 1.0,
+                            method=Text2Vec.infer)["feat_postnet_output"]
+    )(t2v_vars)
 
     @jax.jit
     def voc_scalar(eps):

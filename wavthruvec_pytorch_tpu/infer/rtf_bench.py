@@ -38,14 +38,17 @@ def run(batch_sizes=(1, 4, 8), n_frames: int = 500, iters: int = 16):
             src_seq != 0, jnp.arange(1, N + 1, dtype=jnp.int32)[None], 0
         )
         ref_feat = jax.random.normal(r2, (B, REF_T, t2v_cfg.n_feat_dim)) * 0.1
-        t2v_vars = t2v.init(
-            {"params": r1, "dropout": r2}, src_seq, src_pos, ref_feat,
-            n_frames, 1.0, method=Text2Vec.infer,
-        )
+        t2v_vars = jax.jit(
+            lambda k1, k2: t2v.init({"params": k1, "dropout": k2}, src_seq,
+                                    src_pos, ref_feat, n_frames, 1.0,
+                                    method=Text2Vec.infer)
+        )(r1, r2)
         spk = jax.random.normal(r3, (B, v2w_cfg.spk_dim))
         noise = jax.random.normal(r3, (B, v2w_cfg.noise_dim))
         latents0 = jnp.zeros((B, n_frames, v2w_cfg.n_feat_dim))
-        gen_vars = gen.init(r3, latents0, spk, noise, train=False)
+        gen_vars = jax.jit(
+            lambda k: gen.init(k, latents0, spk, noise, train=False)
+        )(r3)
 
         @jax.jit
         def pipe_scalar(eps):
