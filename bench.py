@@ -91,11 +91,13 @@ def _build_ours(iters: int = 24):
         lambda k: gen.init(k, latents0, spk, noise0, train=False)
     )(r3)
 
+    # params are explicit jit ARGUMENTS — closed-over trees would be inlined
+    # as HLO literals and blow the compile-transport size cap.
     @jax.jit
-    def e2e_scalar(eps):
-        out = t2v.apply(t2v_vars, src_seq, src_pos, ref_feat + eps,
+    def e2e_scalar(tv, gv, eps):
+        out = t2v.apply(tv, src_seq, src_pos, ref_feat + eps,
                         N_FRAMES, 1.0, method=Text2Vec.infer)
-        wav = gen.apply(gen_vars, out["feat_postnet_output"], spk, noise0 + eps,
+        wav = gen.apply(gv, out["feat_postnet_output"], spk, noise0 + eps,
                         train=False)
         return jnp.sum(wav[0, ::1024, 0])
 
@@ -106,8 +108,8 @@ def _build_ours(iters: int = 24):
     )(t2v_vars)
 
     @jax.jit
-    def voc_scalar(eps):
-        wav = gen.apply(gen_vars, latents + eps, spk, noise0 + eps, train=False)
+    def voc_scalar(gv, lat, eps):
+        wav = gen.apply(gv, lat + eps, spk, noise0 + eps, train=False)
         return jnp.sum(wav[0, ::1024, 0])
 
     @jax.jit
@@ -116,8 +118,16 @@ def _build_ours(iters: int = 24):
 
     eps_list = [jnp.float32(i) * 1e-20 for i in range(iters)]
     overhead = _median_time(null_scalar, eps_list)
-    t_e2e = max(_median_time(e2e_scalar, eps_list) - overhead, 1e-9)
-    t_voc = max(_median_time(voc_scalar, eps_list) - overhead, 1e-9)
+    t_e2e = max(
+        _median_time(lambda e: e2e_scalar(t2v_vars, gen_vars, e), eps_list)
+        - overhead,
+        1e-9,
+    )
+    t_voc = max(
+        _median_time(lambda e: voc_scalar(gen_vars, latents, e), eps_list)
+        - overhead,
+        1e-9,
+    )
 
     audio_seconds = N_FRAMES * v2w_cfg.total_upsample / v2w_cfg.sampling_rate
     return audio_seconds / t_e2e, audio_seconds / t_voc, np.asarray(latents)

@@ -51,12 +51,15 @@ def run(batch_sizes=(1, 4, 8), n_frames: int = 500, iters: int = 16):
         )(r3)
 
         @jax.jit
-        def pipe_scalar(eps):
-            out = t2v.apply(t2v_vars, src_seq, src_pos, ref_feat + eps,
+        def _pipe(tv, gv, eps):
+            out = t2v.apply(tv, src_seq, src_pos, ref_feat + eps,
                             n_frames, 1.0, method=Text2Vec.infer)
-            wav = gen.apply(gen_vars, out["feat_postnet_output"], spk,
+            wav = gen.apply(gv, out["feat_postnet_output"], spk,
                             noise + eps, train=False)
             return jnp.sum(wav[:, ::1024, 0])
+
+        def pipe_scalar(eps):
+            return _pipe(t2v_vars, gen_vars, eps)
 
         @jax.jit
         def null_scalar(eps):
