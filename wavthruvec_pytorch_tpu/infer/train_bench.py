@@ -1,0 +1,133 @@
+"""Training-step benchmark on one TPU chip (BASELINE.md configs 4 & 5):
+Text2Vec step (MAS + beta-binomial prior path) and Vec2Wav GAN step.
+
+    python -m wavthruvec_pytorch_tpu.infer.train_bench [--stage t2v|v2w|both]
+
+Timing uses the scalar-fetch methodology (see bench.py; block_until_ready is
+a no-op on this runtime).  States/batches are explicit jit args.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _cache():
+    import jax
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _timeit(run_once, iters=10):
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        run_once(i)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts[2:]))
+
+
+def bench_t2v(B=16, N=64, T=1024):
+    import jax
+    import jax.numpy as jnp
+
+    from wavthruvec_pytorch_tpu.config import Text2VecConfig
+    from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
+
+    cfg = Text2VecConfig()
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(B):
+        n = int(rng.integers(N // 2, N + 1))
+        t = int(rng.integers(T // 2, T + 1))
+        items.append({
+            "text_enc": rng.integers(1, cfg.vocab_size, n),
+            "feat_gt_target": rng.standard_normal((t, cfg.n_feat_dim)).astype(np.float32),
+            "attn_prior": (rng.random((t, n)) + 0.05).astype(np.float32),
+        })
+    batch = t2v.make_padded_batch(items, cfg, text_pad=N, frame_pad=T)
+    batch.pop("audiopaths")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = t2v.make_train_step(model, cfg)
+
+    # warm/compile; consume state functionally. NOTE: step donates the state.
+    keys = [jax.random.PRNGKey(i) for i in range(16)]
+    state, m = step(state, batch, keys[0])
+    float(m["total_loss"])
+
+    holder = {"state": state}
+
+    def once(i):
+        holder["state"], m = step(holder["state"], batch, keys[i % 16])
+        float(m["total_loss"])  # forces completion
+
+    dt = _timeit(once)
+    return {
+        "stage": "text2vec_train_step",
+        "batch": B, "text_pad": N, "frame_pad": T,
+        "sec_per_step": round(dt, 4),
+        "steps_per_sec": round(1.0 / dt, 3),
+    }
+
+
+def bench_v2w(B=2, T=256):
+    import jax
+    import jax.numpy as jnp
+
+    from wavthruvec_pytorch_tpu.config import Vec2WavConfig
+    from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
+    from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
+
+    cfg = Vec2WavConfig()
+    rng = np.random.default_rng(0)
+    L = T * cfg.total_upsample
+    audio = (rng.standard_normal((B, L, 1)) * 0.1).astype(np.float32)
+    mel = np.asarray(
+        mel_spectrogram(jnp.asarray(audio[..., 0]), cfg.n_fft, cfg.num_mels,
+                        cfg.sampling_rate, cfg.hop_size, cfg.win_size,
+                        cfg.fmin, cfg.fmax_for_loss)
+    ).transpose(0, 2, 1)
+    batch = {
+        "wv_feat": jnp.asarray(rng.standard_normal((B, T, cfg.n_feat_dim)), jnp.float32),
+        "spk_emb": jnp.asarray(rng.standard_normal((B, cfg.spk_dim)), jnp.float32),
+        "audio": jnp.asarray(audio),
+        "mel_loss": jnp.asarray(mel),
+    }
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = v2w.make_train_step(models, cfg)
+    keys = [jax.random.PRNGKey(i) for i in range(16)]
+    state, m = step(state, batch, keys[0])
+    float(m["gen_loss_total"])
+    holder = {"state": state}
+
+    def once(i):
+        holder["state"], m = step(holder["state"], batch, keys[i % 16])
+        float(m["gen_loss_total"])
+
+    dt = _timeit(once)
+    audio_sec = B * L / cfg.sampling_rate
+    return {
+        "stage": "vec2wav_gan_train_step",
+        "batch": B, "frames": T,
+        "sec_per_step": round(dt, 4),
+        "audio_sec_per_sec": round(audio_sec / dt, 2),
+    }
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", default="both", choices=["t2v", "v2w", "both"])
+    a = p.parse_args()
+    _cache()
+    if a.stage in ("t2v", "both"):
+        print(json.dumps(bench_t2v()))
+    if a.stage in ("v2w", "both"):
+        print(json.dumps(bench_v2w()))

@@ -8,7 +8,7 @@ reference's per-k BatchNormConv1d (conv pad k//2, no bias, relu, BN) with the
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from wavthruvec_pytorch_tpu.config import Text2VecConfig
 from wavthruvec_pytorch_tpu.models.cbhg import CBHG

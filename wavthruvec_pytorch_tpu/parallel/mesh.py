@@ -18,8 +18,6 @@ creation; each host feeds its local shard via ``shard_batch``.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,7 +13,6 @@ on-device MAS, 4-term loss, LAMB) -> TB scalars every iter, alignment images
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
 from typing import Optional
@@ -23,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wavthruvec_pytorch_tpu import checkpoint as ckpt
-from wavthruvec_pytorch_tpu.config import MeshConfig, Text2VecConfig, save_config
+from wavthruvec_pytorch_tpu.config import Text2VecConfig, save_config
 from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
 from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch
 from wavthruvec_pytorch_tpu.text import TextFrontend
