@@ -18,6 +18,8 @@ creation; each host feeds its local shard via ``shard_batch``.
 from __future__ import annotations
 
 import os
+from typing import Optional
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -38,6 +40,21 @@ def create_mesh(n_data: int = -1, data_axis: str = "data") -> Mesh:
     if n_data > len(devices):
         raise ValueError(f"requested {n_data} devices, have {len(devices)}")
     return Mesh(np.array(devices[:n_data]), (data_axis,))
+
+
+def mesh_for_batch(batch_size: int, data_axis: str = "data") -> Optional[Mesh]:
+    """Largest mesh whose size divides the global batch (None if 1 device).
+
+    The batch axis must split evenly across the data axis; training loops use
+    this to auto-size the mesh (the DistributedSampler-divisibility analog).
+    """
+    n_dev = len(jax.devices())
+    n = min(n_dev, batch_size)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return create_mesh(n, data_axis)
 
 
 def data_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:

@@ -24,7 +24,7 @@ import numpy as np
 from wavthruvec_pytorch_tpu import checkpoint as ckpt
 from wavthruvec_pytorch_tpu.config import Text2VecConfig, save_config
 from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
-from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch
+from wavthruvec_pytorch_tpu.parallel import mesh_for_batch, shard_batch
 from wavthruvec_pytorch_tpu.text import TextFrontend
 from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
 from wavthruvec_pytorch_tpu.utils.logging import StepTimer, TrainLogger
@@ -82,9 +82,8 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     buffer = load_buffer(list(cfg.train_list), cfg, frontend)
     loader = BucketedLoader(buffer, cfg, seed=args.seed)
 
-    mesh = None
-    if len(jax.devices()) > 1:
-        mesh = create_mesh()
+    mesh = mesh_for_batch(cfg.batch_size)
+    if mesh is not None:
         print(f"data-parallel mesh over {mesh.devices.size} devices")
 
     # init from the first batch (defines shapes only; jit recompiles per bucket)

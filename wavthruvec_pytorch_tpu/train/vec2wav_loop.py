@@ -31,7 +31,7 @@ from wavthruvec_pytorch_tpu.data.vocoder_data import (
     pad_vocoder_batch,
 )
 from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
-from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch
+from wavthruvec_pytorch_tpu.parallel import mesh_for_batch, shard_batch
 from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
 from wavthruvec_pytorch_tpu.utils.logging import TrainLogger
 from wavthruvec_pytorch_tpu.utils.plots import plot_spectrogram
@@ -91,9 +91,8 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
         base_mels_path=args.input_mels_dir, split=False,
     )
 
-    mesh = None
-    if len(jax.devices()) > 1:
-        mesh = create_mesh()
+    mesh = mesh_for_batch(cfg.batch_size)
+    if mesh is not None:
         print(f"data-parallel mesh over {mesh.devices.size} devices")
 
     first = next(loader.epoch())
