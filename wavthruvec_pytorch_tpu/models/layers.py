@@ -591,6 +591,7 @@ class BiGRU(nn.Module):
     """
 
     hidden: int
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -619,7 +620,9 @@ class BiGRU(nn.Module):
                 return h_new, h_new
 
             h0 = jnp.zeros((B, self.hidden), xs.dtype)
-            _, ys = lax.scan(step, h0, jnp.swapaxes(gi, 0, 1))
+            # unroll amortizes per-step while-loop overhead on TPU; the
+            # recurrence itself is tiny (one [B,H]x[H,3H] matmul per step)
+            _, ys = lax.scan(step, h0, jnp.swapaxes(gi, 0, 1), unroll=self.unroll)
             return jnp.swapaxes(ys, 0, 1)
 
         fwd = direction("fwd", x)
