@@ -129,7 +129,6 @@ class Wav2VecFeaturizer:
         )
         outs = []
         for i, w in enumerate(wavs):
-            n_frames = self.model.config.inputs_to_logits_ratio
             t = int(self.model._get_feat_extract_output_lengths(min(len(w), pad_len)))
             outs.append(hidden[i, :t])
         return outs
