@@ -277,3 +277,44 @@ def test_mas_pallas_matches_oracle_interpret():
         )
     )
     np.testing.assert_array_equal(got, expected)
+
+
+# ---------------------------------------------------------------------------
+# fused ResBlock unit kernel (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+def test_fused_conv_residual_gate_and_reference():
+    """The fused kernel's compiled path is verified element-wise on TPU (see
+    BENCH_NOTES.md; Pallas interpret mode cannot discharge its dynamic-size
+    halo DMA on CPU).  Here: the support gate and the XLA reference op the
+    kernel must match."""
+    import jax
+
+    from wavthruvec_pytorch_tpu.ops.fused_resblock import (
+        conv_residual_reference,
+        fused_supported,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, C, k, d = 2, 1024, 128, 7, 3
+    x = jnp.asarray(rng.standard_normal((T, C)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, C, C)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(C) * 0.01, jnp.float32)
+    y = np.asarray(conv_residual_reference(x, w, b, dilation=d))
+    # reference op == lrelu -> torch-padded dilated conv + bias + residual
+    import torch
+
+    tconv = torch.nn.Conv1d(C, C, k, dilation=d, padding=(k * d - d) // 2)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(np.asarray(w).transpose(2, 1, 0)))
+        tconv.bias.copy_(torch.from_numpy(np.asarray(b)))
+        xt = torch.nn.functional.leaky_relu(torch.from_numpy(np.asarray(x)).T[None], 0.1)
+        expected = (tconv(xt)[0].T + torch.from_numpy(np.asarray(x))).numpy()
+    np.testing.assert_allclose(y, expected, atol=2e-5)
+
+    # gate logic
+    pad = (k * d - d) // 2
+    assert fused_supported((B, T, C), C, k, 1, 1, pad, d, jnp.float32)
+    assert not fused_supported((B, T, 64), 64, k, 1, 1, pad, d, jnp.float32)  # C%128
+    assert not fused_supported((B, T + 4, C), C, k, 1, 1, pad, d, jnp.float32)  # T%8
+    assert not fused_supported((B, T, C), C, k, 2, 1, pad, d, jnp.float32)  # stride

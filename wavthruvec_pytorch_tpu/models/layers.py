@@ -287,6 +287,12 @@ class WNConv1d(nn.Module):
     use_bias: bool = True
     w_std: Optional[float] = None
     folded: bool = False  # inference export: v pre-folded, skip normalization
+    # fuse_lrelu_residual: compute lrelu(x) -> conv -> + x in ONE Pallas
+    # kernel (inference fast path; falls back to XLA when the kernel's shape
+    # constraints don't hold). The lrelu/residual then must NOT be applied by
+    # the caller.
+    fuse_lrelu_residual: bool = False
+    lrelu_slope: float = 0.1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -313,6 +319,35 @@ class WNConv1d(nn.Module):
             else None
         )
         dt = self.dtype or x.dtype
+
+        if self.fuse_lrelu_residual:
+            from wavthruvec_pytorch_tpu.ops.fused_resblock import (
+                fused_conv_residual,
+                fused_supported,
+            )
+
+            if fused_supported(x.shape, self.features, self.kernel_size,
+                               self.stride, self.groups, self.padding,
+                               self.dilation, dt):
+                b = bias if bias is not None else jnp.zeros((self.features,))
+                return fused_conv_residual(
+                    x, kernel, b, dilation=self.dilation,
+                    neg_slope=self.lrelu_slope,
+                )
+            # fallback: same math through XLA
+            xt = jnp.where(x >= 0, x, self.lrelu_slope * x)
+            out = lax.conv_general_dilated(
+                xt.astype(dt), kernel.astype(dt),
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.groups,
+            )
+            if bias is not None:
+                out = out + bias.astype(dt)
+            return out + x
+
         out = lax.conv_general_dilated(
             x.astype(dt),
             kernel.astype(dt),

@@ -113,29 +113,39 @@ class ResBlock1(nn.Module):
 
 
 class ResBlock2(nn.Module):
-    """2x (lrelu -> dilated conv) residual (models.py:53-70)."""
+    """2x (lrelu -> dilated conv) residual (models.py:53-70).
+
+    ``fused=True`` (inference fast path) runs each lrelu->conv->residual unit
+    as one Pallas kernel (ops/fused_resblock.py) when shapes allow — same
+    math, fewer HBM round trips."""
 
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3)
     folded: bool = False
+    fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, d in enumerate(self.dilation[:2]):
-            xt = nn.leaky_relu(x, LRELU_SLOPE)
-            xt = WNConv1d(
+            conv = WNConv1d(
                 self.channels,
                 kernel_size=self.kernel_size,
                 dilation=d,
                 padding=get_padding(self.kernel_size, d),
                 w_std=0.01,
                 folded=self.folded,
+                fuse_lrelu_residual=self.fused,
+                lrelu_slope=LRELU_SLOPE,
                 dtype=self.dtype,
                 name=f"convs_{i}",
-            )(xt)
-            x = xt + x
+            )
+            if self.fused:
+                x = conv(x)  # lrelu + conv + residual fused inside
+            else:
+                xt = nn.leaky_relu(x, LRELU_SLOPE)
+                x = conv(xt) + x
         return x
 
 
@@ -145,6 +155,7 @@ class Generator(nn.Module):
 
     cfg: Vec2WavConfig
     folded: bool = False  # inference export with pre-folded weight norm
+    fused: bool = False  # fused Pallas lrelu+conv+residual units (inference)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -189,6 +200,9 @@ class Generator(nn.Module):
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
                 block_cls = ResBlock1 if cfg.use_resblock1 else ResBlock2
+                kwargs = {}
+                if not cfg.use_resblock1:
+                    kwargs["fused"] = self.fused
                 out = block_cls(
                     ch,
                     kernel_size=rk,
@@ -196,6 +210,7 @@ class Generator(nn.Module):
                     folded=self.folded,
                     dtype=self.dtype,
                     name=f"resblocks_{i * num_kernels + j}",
+                    **kwargs,
                 )(x)
                 xs = out if xs is None else xs + out
             x = xs / num_kernels
