@@ -104,6 +104,10 @@ def _synthesize(rest):
     p.add_argument("--vocab_path", default="./data/vocab.txt")
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--out_dir", default="./results")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas resblock units (TPU inference fast path)")
+    p.add_argument("--folded", action="store_true",
+                   help="pre-fold weight norm (remove_weight_norm analog)")
     a = p.parse_args(rest)
 
     import os
@@ -115,7 +119,7 @@ def _synthesize(rest):
     v2w_cfg = Vec2WavConfig()
     frontend = TextFrontend.from_vocab_file(a.vocab_path)
     t2v = Text2Vec(t2v_cfg)
-    gen = Generator(v2w_cfg)
+    gen = Generator(v2w_cfg, folded=a.folded, fused=a.fused)
     rng = jax.random.PRNGKey(0)
     ref = np.load(a.ref_npy).squeeze()[None]
     # init through the train branch -> full param tree for restore
@@ -149,7 +153,12 @@ def _synthesize(rest):
             sd = ckpt.load_torch_state_dict(a.gen_checkpoint, key="generator")
             gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
 
-    synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend)
+    if a.folded:
+        from wavthruvec_pytorch_tpu.models.vec2wav import fold_weight_norm
+
+        gen_vars = dict(gen_vars)
+        gen_vars["params"] = fold_weight_norm(gen_vars["params"])
+    synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend, gen=gen)
     ref_b = np.repeat(ref, len(a.text), axis=0)
     spk_b = np.repeat(spk, len(a.text), axis=0)
     wavs, n_samples = synth.synthesize(a.text, ref_b, spk_b, alpha=a.alpha)

@@ -29,11 +29,12 @@ class Synthesizer:
         t2v_variables,
         gen_variables,
         frontend: TextFrontend,
+        gen: Optional[Generator] = None,
     ):
         self.t2v_cfg = t2v_cfg
         self.v2w_cfg = v2w_cfg
         self.t2v = Text2Vec(t2v_cfg)
-        self.gen = Generator(v2w_cfg)
+        self.gen = gen if gen is not None else Generator(v2w_cfg)
         self.t2v_variables = t2v_variables
         self.gen_variables = gen_variables
         self.frontend = frontend
