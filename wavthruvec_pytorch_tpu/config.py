@@ -91,6 +91,9 @@ class Text2VecConfig:
     binarization_loss_weight: float = 1.0
     use_multi_speaker_condition: bool = True
     use_speaker_emb_for_alignment: bool = True
+    # partial-padding convs in ConvAttention — the reference ConvNorm's
+    # selectable, default-off mode (text2vec/module.py:423,433-434)
+    attn_use_partial_padding: bool = False
 
     # --- TPU-native additions (no reference equivalent) ---
     # compute dtype for matmuls/convs; params stay float32.

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from wavthruvec_pytorch_tpu.models.layers import Conv1d
+from wavthruvec_pytorch_tpu.models.layers import Conv1d, PartialConv1d
 from wavthruvec_pytorch_tpu.ops.masking import get_mask_from_lengths
 
 _MASK_VALUE = -1e9
@@ -33,6 +33,9 @@ class ConvAttention(nn.Module):
     # (module.py:456-457)
     n_att_channels: int = 80
     temperature: float = 0.0005  # module.py:522 overrides the ctor arg
+    # partial-padding convs, the reference ConvNorm's selectable (default-off)
+    # mode (module.py:423,433-434)
+    use_partial_padding: bool = False
 
     @nn.compact
     def __call__(
@@ -43,8 +46,9 @@ class ConvAttention(nn.Module):
         attn_prior: Optional[jnp.ndarray] = None,  # [B, T1, T2]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (attn [B, T1, T2] softmax over T2, attn_logprob [B, T1, T2])."""
+        conv_cls = PartialConv1d if self.use_partial_padding else Conv1d
         # key_proj: Conv k3 (C->2C, relu-gain) -> ReLU -> Conv k1 (2C->attn)
-        k = Conv1d(
+        k = conv_cls(
             self.n_text_channels * 2,
             kernel_size=3,
             padding=1,
@@ -52,12 +56,12 @@ class ConvAttention(nn.Module):
             name="key_conv1",
         )(keys)
         k = nn.relu(k)
-        k = Conv1d(
+        k = conv_cls(
             self.n_att_channels, kernel_size=1, w_init_gain="linear", name="key_conv2"
         )(k)
 
         # query_proj: k3 (C->2C, relu) -> ReLU -> k1 -> ReLU -> k1
-        q = Conv1d(
+        q = conv_cls(
             self.n_feat_channels * 2,
             kernel_size=3,
             padding=1,
@@ -65,11 +69,11 @@ class ConvAttention(nn.Module):
             name="query_conv1",
         )(queries)
         q = nn.relu(q)
-        q = Conv1d(
+        q = conv_cls(
             self.n_feat_channels, kernel_size=1, w_init_gain="linear", name="query_conv2"
         )(q)
         q = nn.relu(q)
-        q = Conv1d(
+        q = conv_cls(
             self.n_att_channels, kernel_size=1, w_init_gain="linear", name="query_conv3"
         )(q)
 

@@ -15,6 +15,7 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -168,11 +169,44 @@ def wav_to_fbank(
     return mel
 
 
+def fbank_aug(
+    rng: jnp.ndarray,
+    x: jnp.ndarray,
+    freq_mask_width=(0, 8),
+    time_mask_width=(0, 10),
+) -> jnp.ndarray:
+    """SpecAugment on fbank features [B, T, n_mels] (reference FbankAug,
+    ecapa_tdnn_TaoRuijie.py:95-129): per item, one contiguous zero band along
+    time then one along frequency, widths drawn uniformly from the given
+    half-open ranges and positions from ``[0, max(1, D - max_len))``."""
+
+    def mask_axis(key, x, axis, width_range):
+        D = x.shape[axis]
+        B = x.shape[0]
+        k_len, k_pos = jax.random.split(key)
+        mask_len = jax.random.randint(k_len, (B, 1), width_range[0], width_range[1])
+        high = jnp.maximum(1, D - jnp.max(mask_len))
+        mask_pos = jax.random.randint(k_pos, (B, 1), 0, high)
+        idx = jnp.arange(D)[None, :]
+        band = (mask_pos <= idx) & (idx < mask_pos + mask_len)  # [B, D]
+        shape = [1] * x.ndim
+        shape[0] = B
+        shape[axis] = D
+        return jnp.where(band.reshape(shape), 0.0, x)
+
+    r_time, r_freq = jax.random.split(rng)
+    x = mask_axis(r_time, x, axis=1, width_range=time_mask_width)  # time
+    x = mask_axis(r_freq, x, axis=2, width_range=freq_mask_width)  # mel
+    return x
+
+
 class ECAPA_TDNN(nn.Module):
     """Full ECAPA-TDNN -> 192-d speaker embedding.
 
     Reference: ecapa_tdnn_TaoRuijie.py:132-206.  Input: [B, T, n_feat_dim]
     wav2vec feats (``input_wav=False``) or [B, L] raw wav (``input_wav=True``).
+    With ``aug=True`` on the wav path, SpecAugment masks are applied to the
+    fbank (needs an ``rngs={"specaug": key}`` at apply time).
     """
 
     C: int = 1024
@@ -186,8 +220,8 @@ class ECAPA_TDNN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False, aug: bool = False) -> jnp.ndarray:
         if self.input_wav:
             x = lax.stop_gradient(wav_to_fbank(x))  # torch.no_grad frontend
-            # (specaug is a training-data augmentation; hook kept for parity,
-            # applied host-side in the data pipeline when enabled)
+            if aug:
+                x = fbank_aug(self.make_rng("specaug"), x)
 
         x = Conv1d(self.C, kernel_size=5, padding=2, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)

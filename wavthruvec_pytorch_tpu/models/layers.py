@@ -161,6 +161,81 @@ class Conv1d(nn.Module):
         )(x)
 
 
+class PartialConv1d(nn.Module):
+    """Partial-padding 1-D convolution (reference: text2vec/module.py:366-418,
+    selectable through ConvNorm's ``use_partial_padding``, module.py:420-453).
+
+    Positions where the kernel window overlaps zero padding (or masked-out
+    samples) are rescaled by ``window_size / coverage`` so the padding does
+    not bias border outputs; fully-masked positions are zeroed.  Matches the
+    reference including its ``1e-6`` denominator (so even interior positions
+    carry a ``k/(k+1e-6)`` factor).
+
+    The parameter tree is identical to :class:`Conv1d` (``Conv_0/{kernel,
+    bias}``) so checkpoints import interchangeably.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    w_init_gain: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask_in: Optional[jnp.ndarray] = None):
+        """x: [B, T, C]; mask_in: optional [B, T, 1] (or [B, T]) validity mask."""
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size
+        if self.w_init_gain is not None:
+            k_init = xavier_uniform(calculate_gain(self.w_init_gain))
+        else:
+            k_init = torch_default_kernel_init()
+        conv = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            kernel_dilation=(self.dilation,),
+            use_bias=self.use_bias,
+            kernel_init=k_init,
+            bias_init=torch_default_bias_init(fan_in),
+            dtype=self.dtype,
+            name="Conv_0",
+        )
+
+        if mask_in is not None and mask_in.ndim == 2:
+            mask_in = mask_in[..., None]
+        # coverage of each output position: conv of the mask (or all-ones)
+        # with a ones kernel (reference module.py:397-404)
+        if mask_in is None:
+            ones = jnp.ones((1, x.shape[1], 1), dtype=x.dtype)
+        else:
+            ones = mask_in.astype(x.dtype)
+        coverage = lax.conv_general_dilated(
+            ones,
+            jnp.ones((self.kernel_size, 1, 1), dtype=x.dtype),
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        mask_ratio = self.kernel_size / (coverage + 1e-6)
+        update_mask = jnp.clip(coverage, 0.0, 1.0)
+        mask_ratio = mask_ratio * update_mask
+
+        raw = conv(x * mask_in.astype(x.dtype) if mask_in is not None else x)
+        if self.use_bias:
+            b = conv.variables["params"]["bias"]
+            out = (raw - b) * mask_ratio + b
+            out = out * update_mask
+        else:
+            out = raw * mask_ratio
+        return out
+
+
 class Conv2dNHWC(nn.Module):
     """2-D conv over [B, H, W, C] with torch-like explicit padding."""
 

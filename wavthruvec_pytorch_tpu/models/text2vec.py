@@ -168,7 +168,9 @@ class Text2Vec(nn.Module):
                 else cfg.encoder_dim
             )
             self.attention = ConvAttention(
-                n_feat_channels=cfg.n_feat_dim, n_text_channels=n_text_ch
+                n_feat_channels=cfg.n_feat_dim,
+                n_text_channels=n_text_ch,
+                use_partial_padding=cfg.attn_use_partial_padding,
             )
 
     # -- helpers ----------------------------------------------------------
