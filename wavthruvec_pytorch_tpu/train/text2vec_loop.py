@@ -148,7 +148,9 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                         float(metrics["WVF_postnet_loss"]),
                         float(metrics["attn_binarization_loss"]),
                     ),
-                    f"Current Learning Rate is {cfg.learning_rate:.6f}.",
+                    "Current Learning Rate is {:.6f}.".format(
+                        float(state.opt_state.hyperparams["learning_rate"])
+                    ),
                     "Time Used: {:.3f}s, Estimated Remaining: {:.3f}s.".format(
                         elapsed, (total_step - iteration) * timer.mean
                     ),

@@ -33,6 +33,7 @@ from wavthruvec_pytorch_tpu.models.losses import (
     dnn_loss,
 )
 from wavthruvec_pytorch_tpu.models.text2vec import Text2Vec
+from wavthruvec_pytorch_tpu.train.lamb import reference_lamb
 
 
 class T2VTrainState(NamedTuple):
@@ -46,8 +47,12 @@ def make_optimizer(cfg: Text2VecConfig) -> optax.GradientTransformation:
     """LAMB exactly as configured (text2vec/hparams.py:72-76); the reference's
     warmup scale is disabled (optimizer.py:19-21) so the lr is constant.
     Hyperparams are injected so the frozen-lr mode (train.py:378-380) can
-    overwrite the lr on the optimizer state."""
-    return optax.inject_hyperparams(optax.lamb)(
+    overwrite the lr on the optimizer state.
+
+    Uses :func:`reference_lamb` — torch_optimizer.Lamb semantics (no Adam
+    debias, per-tensor weight-norm clamp 10) — not ``optax.lamb``, whose
+    bias correction and missing clamp change the update (train/lamb.py)."""
+    return optax.inject_hyperparams(reference_lamb)(
         learning_rate=cfg.learning_rate,
         b1=cfg.beta1,
         b2=cfg.beta2,
