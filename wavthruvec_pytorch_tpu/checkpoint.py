@@ -333,6 +333,47 @@ def import_vec2wav_msd(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "spectral": spectral}
 
 
+# ---- SpeechBrain ECAPA (spkrec-ecapa-voxceleb embedding_model) -------------
+
+def import_speechbrain_ecapa(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a SpeechBrain ``spkrec-ecapa-voxceleb`` ``embedding_model``
+    state dict (the ``embedding_model.ckpt`` inside the pretrained bundle the
+    reference downloads at vec2wav/pre_spk_emb.py:12) onto
+    ``models.ecapa_speechbrain.ECAPA_TDNN_SB`` variables.
+
+    Accepts keys with or without an ``embedding_model.`` prefix.
+    """
+    sd = {k[len("embedding_model."):] if k.startswith("embedding_model.") else k: v
+          for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def sb_conv(src, dst):
+        _nested_set(params, f"{dst}/conv/Conv_0/kernel", _conv_w(sd[f"{src}.conv.weight"]))
+        _nested_set(params, f"{dst}/conv/Conv_0/bias", sd[f"{src}.conv.bias"])
+
+    def tdnn(src, dst):
+        sb_conv(f"{src}.conv", f"{dst}/conv")
+        _bn(sd, f"{src}.norm.norm", params, stats, f"{dst}/norm")
+
+    tdnn("blocks.0", "blocks_0")
+    scale = 8
+    for i in (1, 2, 3):
+        b, d = f"blocks.{i}", f"blocks_{i}"
+        tdnn(f"{b}.tdnn1", f"{d}/tdnn1")
+        for j in range(scale - 1):
+            tdnn(f"{b}.res2net_block.blocks.{j}", f"{d}/res2net_block/blocks_{j}")
+        tdnn(f"{b}.tdnn2", f"{d}/tdnn2")
+        sb_conv(f"{b}.se_block.conv1", f"{d}/se_block/conv1")
+        sb_conv(f"{b}.se_block.conv2", f"{d}/se_block/conv2")
+    tdnn("mfa", "mfa")
+    tdnn("asp.tdnn", "asp/tdnn")
+    sb_conv("asp.conv", "asp/conv")
+    _bn(sd, "asp_bn.norm", params, stats, "asp_bn")
+    sb_conv("fc", "fc")
+    return {"params": params, "batch_stats": stats}
+
+
 def assert_tree_shapes_match(imported: Any, target: Any, name: str = "") -> None:
     """Sanity check: imported tree leaves must match the model's init tree."""
     imp_flat = {

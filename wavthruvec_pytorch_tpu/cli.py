@@ -77,9 +77,22 @@ def _pre_spk_emb(rest):
     p.add_argument("--wavs_root", required=True)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--n_files_per_speaker", type=int, default=50)
+    p.add_argument(
+        "--speechbrain_ckpt",
+        default=None,
+        help="path to the SpeechBrain spkrec-ecapa-voxceleb embedding_model.ckpt "
+        "(torch state dict); selects the SpeechBrain-architecture embedder the "
+        "reference actually uses (vec2wav/pre_spk_emb.py:12)",
+    )
     a = p.parse_args(rest)
+    embedder = None
+    if a.speechbrain_ckpt is not None:
+        from wavthruvec_pytorch_tpu.data.spk_emb import SpeechBrainEmbedder
+
+        embedder = SpeechBrainEmbedder(torch_ckpt=a.speechbrain_ckpt)
     embs = precompute_speaker_embeddings(
-        a.wavs_root, a.out_dir, n_files_per_speaker=a.n_files_per_speaker
+        a.wavs_root, a.out_dir, embedder=embedder,
+        n_files_per_speaker=a.n_files_per_speaker,
     )
     print(f"wrote {len(embs)} speaker embeddings to {a.out_dir}")
     return 0

@@ -61,6 +61,63 @@ class SpeakerEmbedder:
         return np.asarray(self._forward(self.variables, jnp.asarray(cat[None])))[0]
 
 
+class SpeechBrainEmbedder:
+    """Embedder matching the reference's actual conditioning source: the
+    pretrained SpeechBrain ``spkrec-ecapa-voxceleb`` classifier
+    (vec2wav/pre_spk_emb.py:12,30).  Load the bundle's
+    ``embedding_model.ckpt`` (a torch state dict) via ``torch_ckpt`` to
+    reproduce the reference's ``spk_emb/{spk}.pth`` values; without weights
+    the architecture runs random-init (pipeline tests only).
+    """
+
+    def __init__(self, torch_ckpt: Optional[str] = None, max_samples: int = 16000 * 60):
+        import jax
+        import jax.numpy as jnp
+
+        from wavthruvec_pytorch_tpu.models.ecapa_speechbrain import (
+            ECAPA_TDNN_SB,
+            sb_fbank,
+            sentence_norm,
+        )
+
+        self.model = ECAPA_TDNN_SB()
+        self.max_samples = max_samples
+        if torch_ckpt is not None:
+            from wavthruvec_pytorch_tpu.checkpoint import (
+                import_speechbrain_ecapa,
+                load_torch_state_dict,
+            )
+
+            self.variables = import_speechbrain_ecapa(
+                load_torch_state_dict(torch_ckpt)
+            )
+        else:
+            feats = jnp.zeros((1, 100, 80))
+            self.variables = self.model.init(jax.random.PRNGKey(0), feats, train=False)
+
+        def forward(variables, wav):
+            return self.model.apply(variables, sentence_norm(sb_fbank(wav)), train=False)
+
+        self._forward = jax.jit(forward)
+
+    def embed_concat(self, wavs: Sequence[np.ndarray], exact: bool = False) -> np.ndarray:
+        """Embed the concatenation of the speaker's utterances.
+
+        Zero-padding would shift the fbank/sentence-norm statistics (unlike
+        the feature-input ECAPA), so for a bounded jit-shape count the wav is
+        *truncated down* to whole seconds by default (≤1 s lost out of ~50
+        utterances — negligible for a speaker centroid).  ``exact=True``
+        keeps every sample (reference-exact; one compile per length).
+        """
+        import jax.numpy as jnp
+
+        cat = np.concatenate(wavs)[: self.max_samples].astype(np.float32)
+        if not exact:
+            n = max(16000, (len(cat) // 16000) * 16000)
+            cat = cat[:n]
+        return np.asarray(self._forward(self.variables, jnp.asarray(cat[None])))[0]
+
+
 def precompute_speaker_embeddings(
     wavs_root: str,
     out_dir: str,
