@@ -104,11 +104,13 @@ class BucketedLoader:
         cfg: Text2VecConfig,
         seed: int = 0,
         drop_last: bool = True,
+        shuffle: bool = True,
     ):
         self.buffer = buffer
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.shuffle = shuffle
         self.super_batch = cfg.batch_size * cfg.batch_expand_size
 
     def __len__(self) -> int:
@@ -116,7 +118,10 @@ class BucketedLoader:
         return n_super * self.cfg.batch_expand_size
 
     def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self.rng.permutation(len(self.buffer))
+        if self.shuffle:
+            order = self.rng.permutation(len(self.buffer))
+        else:
+            order = np.arange(len(self.buffer))
         n_super = len(order) // self.super_batch
         for s in range(n_super):
             idx = order[s * self.super_batch : (s + 1) * self.super_batch]

@@ -113,6 +113,18 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     logger = TrainLogger(cfg.tensorboard_logs_path, cfg.logger_path)
     timer = StepTimer()
 
+    # validation loader (reference defines compute_validation_loss but leaves
+    # the call commented, text2vec/train.py:434-440; here it's live behind
+    # --validate, mirroring the vocoder loop's live validation)
+    val_loader = None
+    if args.validate:
+        val_lists = [p for p in cfg.val_list if os.path.exists(p)]
+        if val_lists:
+            val_buffer = load_buffer(val_lists, cfg, frontend)
+            val_loader = BucketedLoader(val_buffer, cfg, seed=args.seed, shuffle=False)
+        else:
+            print(f"--validate set but no val list found at {cfg.val_list}")
+
     total_step = cfg.epochs * len(loader)
     print("\ntotal steps:", total_step, "len(loader)", len(loader), "\n")
     rng = jax.random.PRNGKey(args.seed + 1)
@@ -172,6 +184,15 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                 ckpt.save_checkpoint(path, jax.device_get(state))
                 print(f"save model at step {iteration} ...")
 
+            if val_loader is not None and iteration % cfg.val_step == 0:
+                vals = compute_validation_loss(
+                    model, cfg, state, val_loader, logger, iteration
+                )
+                logger.text(
+                    f"Validation at step {iteration}: "
+                    + ", ".join(f"{k}: {v:.4f}" for k, v in vals.items())
+                )
+
             if args.max_steps and iteration >= args.max_steps:
                 logger.flush()
                 return state
@@ -189,6 +210,10 @@ def parse_args(argv=None):
     parser.add_argument("--scalar_log_step", type=int, default=1)
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler trace of steps 3-8")
+    parser.add_argument("--validate", action="store_true",
+                        help="run validation every cfg.val_step steps "
+                        "(reference's compute_validation_loss, call commented "
+                        "there — text2vec/train.py:434-440)")
     return parser.parse_args(argv)
 
 
