@@ -42,8 +42,9 @@ def load_buffer(
 ) -> List[Dict]:
     """Load every ``npy|text|spk`` line into RAM (reference: dataset.py:64-103).
 
-    ``npy_loader`` lets callers plug the native prefetching reader
-    (wavthruvec_pytorch_tpu.data.native_io) in place of np.load.
+    By default the native C++ prefetcher (native/npy_loader.cc) streams the
+    ``.npy`` files ahead of the parse loop; pass ``npy_loader=np.load`` to
+    force the pure-python path.
     """
     feat_root = feat_root if feat_root is not None else cfg.feat_ground_truth
     lines: List[str] = []
@@ -52,13 +53,25 @@ def load_buffer(
     if limit is not None:
         lines = lines[:limit]
 
+    parsed = [line.strip().split("|") for line in lines]
+    paths = [os.path.join(feat_root, p[0]) for p in parsed]
+
+    prefetcher = None
+    if npy_loader is None:
+        from wavthruvec_pytorch_tpu.data import native_io
+
+        if native_io.get_lib() is not None:
+            prefetcher = native_io.Prefetcher(paths)
     load = npy_loader or np.load
+
     buffer = []
     start = time.perf_counter()
-    for line in lines:
-        npy_file, character, spk = line.strip().split("|")
-        feat_path = os.path.join(feat_root, npy_file)
-        feat = np.asarray(load(feat_path))
+    for i, ((npy_file, character, spk), feat_path) in enumerate(zip(parsed, paths)):
+        feat = (
+            np.asarray(prefetcher.get(i))
+            if prefetcher is not None
+            else np.asarray(load(feat_path))
+        )
         feat = feat.squeeze()  # [1, T, C] -> [T, C]
         text_enc = np.asarray(frontend.text_to_sequence(character), np.int32)
         attn_prior = (

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -121,6 +122,7 @@ class VocoderDataset:
         split: Optional[bool] = None,
         seed: int = 1234,
         npy_loader=None,
+        cache_budget_bytes: int = 4 << 30,
     ):
         self.files = list(files)
         self.cfg = cfg
@@ -128,13 +130,48 @@ class VocoderDataset:
         self.base_mels_path = base_mels_path
         self.split = cfg.split if split is None else split
         self.rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
         self.load_npy = npy_loader or np.load
+        # RAM cache across epochs (the reference caches raw audio,
+        # vec2wav/dataset.py:129-137; we additionally cache the whole
+        # deterministic item in full-utterance mode — audio, host mel and
+        # feats are all epoch-invariant there).  Bounded by a byte budget;
+        # beyond it new items are served uncached.
+        self.cache_budget_bytes = cache_budget_bytes
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
+        self._audio_cache: Dict[int, np.ndarray] = {}
+        self._feat_cache: Dict[int, np.ndarray] = {}
+        self._item_cache: Dict[int, Dict] = {}
+        self._spk_cache: Dict[str, np.ndarray] = {}
 
     def __len__(self):
         return len(self.files)
 
+    def _cache_put(self, store, key, value, nbytes) -> None:
+        with self._cache_lock:
+            if self._cache_bytes + nbytes <= self.cache_budget_bytes:
+                store[key] = value
+                self._cache_bytes += nbytes
+
+    def _load_spk(self, spk: str) -> np.ndarray:
+        emb = self._spk_cache.get(spk)
+        if emb is None:
+            cfg = self.cfg
+            spk_path_pth = os.path.join(cfg.spk_emb_path, spk + ".pth")
+            spk_path_npy = os.path.join(cfg.spk_emb_path, spk + ".npy")
+            emb = load_spk_emb(
+                spk_path_npy if os.path.exists(spk_path_npy) else spk_path_pth
+            )
+            with self._cache_lock:
+                self._spk_cache[spk] = emb
+        return emb
+
     def __getitem__(self, index: int) -> Dict:
         cfg = self.cfg
+        cached = self._item_cache.get(index)
+        if cached is not None:
+            return cached
         filename = self.files[index]
         parts = filename.split("/")
         wav_file = os.path.join(
@@ -143,21 +180,49 @@ class VocoderDataset:
         feat_file = os.path.join(cfg.feat_ground_truth, filename)
         spk = parts[1]
 
-        audio, sr = load_wav(wav_file, cfg.sampling_rate)
-        if not self.fine_tuning:
-            audio = normalize(audio) * 0.95
+        audio = self._audio_cache.get(index)
+        if audio is None:
+            audio, sr = load_wav(wav_file, cfg.sampling_rate)
+            if not self.fine_tuning:
+                audio = normalize(audio) * 0.95
+            self._cache_put(self._audio_cache, index, audio, audio.nbytes)
+
+        wv_feat = self._feat_cache.get(index)
+        if wv_feat is None:
+            wv_feat = (
+                np.asarray(self.load_npy(feat_file)).squeeze().astype(np.float32)
+            )
+            if self.split:  # item cache covers the non-split path
+                self._cache_put(self._feat_cache, index, wv_feat, wv_feat.nbytes)
 
         if not self.fine_tuning:
             if self.split:
-                # windowed-generator mode (reference defines it but leaves it
-                # off in the train loop — dataset.py:146-154, train.py:109-112)
-                if len(audio) >= cfg.segment_size:
-                    start = int(
-                        self.rng.integers(0, len(audio) - cfg.segment_size + 1)
-                    )
-                    audio = audio[start : start + cfg.segment_size]
+                # Windowed-generator mode.  The reference defines it but
+                # leaves it off in the train loop (dataset.py:146-154,
+                # train.py:109-112) — and its inactive version windows audio
+                # while returning the FULL wav2vec features, which cannot
+                # train (G(feats) and the audio window are different speech).
+                # Deviation by design: window in *feature space* so the
+                # (feats, audio, mel) triple stays aligned — seg_frames
+                # latent frames paired with seg_frames*320 samples
+                # (8192//320 = 25 frames -> 8000 samples per window).
+                seg_frames = cfg.segment_size // cfg.total_upsample
+                seg_samples = seg_frames * cfg.total_upsample
+                T = wv_feat.shape[0]
+                if T > seg_frames:
+                    with self._rng_lock:  # loader worker threads share rng
+                        fstart = int(self.rng.integers(0, T - seg_frames + 1))
+                    wv_feat = wv_feat[fstart : fstart + seg_frames]
+                    a = audio[
+                        fstart * cfg.total_upsample : fstart * cfg.total_upsample
+                        + seg_samples
+                    ]
                 else:
-                    audio = np.pad(audio, (0, cfg.segment_size - len(audio)))
+                    wv_feat = np.pad(wv_feat, ((0, seg_frames - T), (0, 0)))
+                    a = audio[: seg_samples]
+                if len(a) < seg_samples:
+                    a = np.pad(a, (0, seg_samples - len(a)))
+                audio = a
         else:
             # fine-tuning branch: precomputed mels from disk
             # (reference: dataset.py:158-175)
@@ -171,11 +236,12 @@ class VocoderDataset:
             if self.split:
                 frames_per_seg = math.ceil(cfg.segment_size / cfg.hop_size)
                 if len(audio) >= cfg.segment_size:
-                    mel_start = int(
-                        self.rng.integers(
-                            0, max(mel.shape[0] - frames_per_seg - 1, 1)
+                    with self._rng_lock:
+                        mel_start = int(
+                            self.rng.integers(
+                                0, max(mel.shape[0] - frames_per_seg - 1, 1)
+                            )
                         )
-                    )
                     mel = mel[mel_start : mel_start + frames_per_seg]
                     audio = audio[
                         mel_start * cfg.hop_size : (mel_start + frames_per_seg)
@@ -189,19 +255,22 @@ class VocoderDataset:
             audio, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
             cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
         )
-        wv_feat = np.asarray(self.load_npy(feat_file)).squeeze().astype(np.float32)
-        spk_path_pth = os.path.join(cfg.spk_emb_path, spk + ".pth")
-        spk_path_npy = os.path.join(cfg.spk_emb_path, spk + ".npy")
-        spk_emb = load_spk_emb(
-            spk_path_npy if os.path.exists(spk_path_npy) else spk_path_pth
-        )
-        return {
+        spk_emb = self._load_spk(spk)
+        item = {
             "wv_feat": wv_feat,  # [T, 1024]
             "spk_emb": spk_emb,  # [192]
             "audio": audio,  # [L]
             "mel_loss": mel_loss,  # [F, 80]
             "filename": filename,
         }
+        if not self.split:
+            # full-utterance mode is deterministic: cache the whole item
+            # (wav read + host mel + feat read all skipped from epoch 2 on)
+            self._cache_put(
+                self._item_cache, index, item,
+                wv_feat.nbytes + mel_loss.nbytes + audio.nbytes,
+            )
+        return item
 
 
 def pad_vocoder_batch(
@@ -241,19 +310,37 @@ def pad_vocoder_batch(
 
 
 class VocoderLoader:
-    """Shuffled fixed-shape batch iterator over a VocoderDataset."""
+    """Shuffled fixed-shape batch iterator over a VocoderDataset.
+
+    ``num_workers`` threads load the items of a batch concurrently (the
+    reference's DataLoader(num_workers=8) analog; scipy/numpy release the
+    GIL for the wav read and host-mel work).  Batch-level overlap with the
+    device step is provided by ``data.prefetch.prefetched``.
+    """
 
     def __init__(self, dataset: VocoderDataset, batch_size: int, seed: int = 1234,
-                 shuffle: bool = True, drop_last: bool = True):
+                 shuffle: bool = True, drop_last: bool = True,
+                 num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _get_items(self, idx):
+        if self.num_workers and len(idx) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            return list(self._pool.map(self.dataset.__getitem__, [int(i) for i in idx]))
+        return [self.dataset[int(i)] for i in idx]
 
     def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
         order = (
@@ -261,8 +348,15 @@ class VocoderLoader:
             if self.shuffle
             else np.arange(len(self.dataset))
         )
+        cfg = self.dataset.cfg
+        # windowed mode emits one exact static shape; no bucket rounding
+        frame_pad = (
+            cfg.segment_size // cfg.total_upsample
+            if (self.dataset.split and not self.dataset.fine_tuning)
+            else None
+        )
         n_batches = len(self)
         for b in range(n_batches):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            items = [self.dataset[int(i)] for i in idx]
-            yield pad_vocoder_batch(items, self.dataset.cfg)
+            items = self._get_items(idx)
+            yield pad_vocoder_batch(items, cfg, frame_pad=frame_pad)

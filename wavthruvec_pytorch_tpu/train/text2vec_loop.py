@@ -24,6 +24,7 @@ import numpy as np
 from wavthruvec_pytorch_tpu import checkpoint as ckpt
 from wavthruvec_pytorch_tpu.config import Text2VecConfig, save_config
 from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
+from wavthruvec_pytorch_tpu.data.prefetch import prefetched
 from wavthruvec_pytorch_tpu.parallel import mesh_for_batch, shard_batch
 from wavthruvec_pytorch_tpu.text import TextFrontend
 from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
@@ -131,7 +132,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     start_time = time.perf_counter()
 
     for epoch in range(cfg.epochs):
-        for batch in loader.epoch():
+        for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
             audiopaths = batch.pop("audiopaths")
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
@@ -210,6 +211,10 @@ def parse_args(argv=None):
     parser.add_argument("--scalar_log_step", type=int, default=1)
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler trace of steps 3-8")
+    parser.add_argument("--prefetch", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="overlap host batch assembly (padding, prior "
+                        "lookup) with the device step")
     parser.add_argument("--validate", action="store_true",
                         help="run validation every cfg.val_step steps "
                         "(reference's compute_validation_loss, call commented "

@@ -24,6 +24,7 @@ import numpy as np
 
 from wavthruvec_pytorch_tpu import checkpoint as ckpt
 from wavthruvec_pytorch_tpu.config import Vec2WavConfig, save_config
+from wavthruvec_pytorch_tpu.data.prefetch import prefetched
 from wavthruvec_pytorch_tpu.data.vocoder_data import (
     VocoderDataset,
     VocoderLoader,
@@ -85,7 +86,9 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
         training_files, cfg, fine_tuning=args.fine_tuning,
         base_mels_path=args.input_mels_dir,
     )
-    loader = VocoderLoader(trainset, cfg.batch_size, seed=cfg.seed)
+    loader = VocoderLoader(
+        trainset, cfg.batch_size, seed=cfg.seed, num_workers=args.num_workers
+    )
     validset = VocoderDataset(
         validation_files, cfg, fine_tuning=args.fine_tuning,
         base_mels_path=args.input_mels_dir, split=False,
@@ -124,7 +127,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
             opt_g_state=v2w.set_learning_rate(state.opt_g_state, lr),
             opt_d_state=v2w.set_learning_rate(state.opt_d_state, lr),
         )
-        for batch in loader.epoch():
+        for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
             start_b = time.time()
             batch.pop("filenames", None)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -171,6 +174,13 @@ def parse_args(argv=None):
     parser.add_argument("--validation_interval", default=1000, type=int)
     parser.add_argument("--fine_tuning", default=False, type=bool)
     parser.add_argument("--max_steps", type=int, default=0)
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="threads loading items within a batch "
+                        "(reference DataLoader num_workers=8 analog)")
+    parser.add_argument("--prefetch", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="overlap host batch assembly with the device "
+                        "step (--no-prefetch for synchronous)")
     return parser.parse_args(argv)
 
 
