@@ -17,4 +17,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache shared across test processes/runs: the heavy
+# loop/train-step tests are compile-bound on CPU, and their programs are
+# identical run-to-run.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".cache", "jax_test")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -150,6 +150,7 @@ def _synthetic_reference_state_dict(cfg):
     return sd
 
 
+@pytest.mark.slow
 def test_import_text2vec_covers_full_tree():
     cfg = T2V_SMALL
     sd = _synthetic_reference_state_dict(cfg)

@@ -45,6 +45,7 @@ def t2v_disk_dataset(tmp_path):
     return cfg, str(flist), str(vocab)
 
 
+@pytest.mark.slow
 def test_t2v_buffer_loader_and_step(t2v_disk_dataset):
     cfg, flist, vocab = t2v_disk_dataset
     from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
@@ -133,6 +134,7 @@ def v2w_disk_dataset(tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_vocoder_dataset_and_gan_step(v2w_disk_dataset):
     cfg = v2w_disk_dataset
     from wavthruvec_pytorch_tpu.data.vocoder_data import (
@@ -207,6 +209,7 @@ def test_build_vocab_from_texts():
     assert v == "PE abcd"
 
 
+@pytest.mark.slow
 def test_gan_checkpoint_roundtrip(tmp_path, v2w_disk_dataset):
     cfg = v2w_disk_dataset
     from wavthruvec_pytorch_tpu.data.vocoder_data import (

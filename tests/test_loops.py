@@ -12,6 +12,7 @@ from tests.test_data_pipeline import SYMS, t2v_disk_dataset, v2w_disk_dataset  #
 from wavthruvec_pytorch_tpu.train import text2vec_loop, vec2wav_loop
 
 
+@pytest.mark.slow
 def test_text2vec_loop_runs_and_checkpoints(tmp_path, t2v_disk_dataset):  # noqa: F811
     cfg, flist, vocab = t2v_disk_dataset
     cfg = dataclasses.replace(
@@ -39,6 +40,7 @@ def test_text2vec_loop_runs_and_checkpoints(tmp_path, t2v_disk_dataset):  # noqa
     assert int(state2.step) >= 3
 
 
+@pytest.mark.slow
 def test_vec2wav_loop_runs_and_checkpoints(tmp_path, v2w_disk_dataset):  # noqa: F811
     cfg = v2w_disk_dataset
     cfg = dataclasses.replace(

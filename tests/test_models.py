@@ -162,6 +162,7 @@ def test_ecapa_shapes():
     assert out.shape == (2, 192)
 
 
+@pytest.mark.slow
 def test_ecapa_wav_input_path():
     m = ECAPA_TDNN(C=64, n_feat_dim=80, n_speaker_dim=192, input_wav=True)
     wav = jnp.asarray(

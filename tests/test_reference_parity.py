@@ -67,6 +67,7 @@ def ref_vec2wav():
     return models, models.hp
 
 
+@pytest.mark.slow
 def test_generator_full_parity_vs_reference(ref_vec2wav):
     ref_models, ref_hp = ref_vec2wav
     torch.manual_seed(0)
@@ -114,6 +115,7 @@ def test_generator_full_parity_vs_reference(ref_vec2wav):
     np.testing.assert_allclose(y, y_ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_mpd_parity_vs_reference(ref_vec2wav):
     ref_models, ref_hp = ref_vec2wav
     torch.manual_seed(1)
@@ -148,6 +150,7 @@ def test_mpd_parity_vs_reference(ref_vec2wav):
         np.testing.assert_allclose(got_f, r_fmap_rs[i][-1].numpy(), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_msd_parity_vs_reference(ref_vec2wav):
     ref_models, _ = ref_vec2wav
     torch.manual_seed(2)

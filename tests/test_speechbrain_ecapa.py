@@ -217,6 +217,7 @@ def _randomize_bn_stats(model, gen):
                 m.bias.copy_(torch.randn(m.bias.shape, generator=gen) * 0.1)
 
 
+@pytest.mark.slow
 def test_sb_ecapa_embedding_parity():
     gen = torch.Generator().manual_seed(0)
     oracle = TorchSBECAPA(input_size=20, **SMALL).eval()
@@ -264,6 +265,7 @@ def test_sb_fbank_parity():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sb_encode_end_to_end():
     """Full encode_batch pipeline: wav -> fbank -> sentence norm -> embed,
     Flax vs the torch oracle chain."""

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_models import T2V_SMALL, V2W_SMALL
 from wavthruvec_pytorch_tpu.infer.synthesize import Synthesizer
@@ -14,6 +15,7 @@ from wavthruvec_pytorch_tpu.text import TextFrontend
 SYMS = "PE abcdefg"
 
 
+@pytest.mark.slow
 def test_synthesizer_end_to_end():
     t2v_cfg = dataclasses.replace(
         T2V_SMALL,

@@ -97,6 +97,7 @@ def _batch(rng, cfg, in_lens, out_lens):
     return src_seq, src_pos, wvf_pos, wav_feat, prior
 
 
+@pytest.mark.slow
 def test_text2vec_full_parity_train_branch(ref_t2v):
     mod, ref_model = ref_t2v
     ref_model.train()
@@ -170,6 +171,7 @@ def test_text2vec_full_parity_train_branch(ref_t2v):
     )
 
 
+@pytest.mark.slow
 def test_text2vec_full_parity_eval_branch(ref_t2v):
     """Eval branch, B=1 (the reference's DurationPredictor unsqueeze at
     module.py:155 only supports batch-1 eval).  The reference expands to the
@@ -240,6 +242,7 @@ def _import_ecapa_variables(ref_ecapa, cfg_kwargs):
     return {"params": params["m"], "batch_stats": stats["m"]}
 
 
+@pytest.mark.slow
 def test_ecapa_parity_feat_path_train_bn(ref_ecapa_mod):
     """wav2vec-feature input (t2v path, input_wav=False), batch-stats BN.
 
@@ -271,6 +274,7 @@ def test_ecapa_parity_feat_path_train_bn(ref_ecapa_mod):
     assert np.median(np.abs(y - y_ref)) < 1e-3
 
 
+@pytest.mark.slow
 def test_ecapa_parity_feat_path_eval_bn(ref_ecapa_mod):
     """Same path with running-stats BN — tight tolerance."""
     from wavthruvec_pytorch_tpu.models.ecapa import ECAPA_TDNN
@@ -293,6 +297,7 @@ def test_ecapa_parity_feat_path_eval_bn(ref_ecapa_mod):
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ecapa_parity_wav_fbank_path(ref_ecapa_mod):
     """Raw-wav input (vec2wav path, input_wav=True): PreEmphasis + hamming
     MelSpectrogram (512/400/160, htk mel 20-7600) + log + mean-norm frontend

@@ -35,8 +35,15 @@ def _t2v_synth_batch(cfg, B=8, N=8, T=24, seed=0):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_t2v_train_step_loss_decreases():
-    cfg = T2V_SMALL
+    # Reference-semantics LAMB (no debias, trust clamp) at the reference
+    # lr=0.1 oscillates on this 8-step toy problem; use a gentler lr for the
+    # "training reduces loss" sanity check (optimizer math is covered by
+    # test_lamb_parity.py).
+    import dataclasses
+
+    cfg = dataclasses.replace(T2V_SMALL, learning_rate=0.01)
     batch = _t2v_synth_batch(cfg)
     model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
     step, _ = t2v.make_train_step(model, cfg)
@@ -109,6 +116,7 @@ def _tiny_v2w_cfg():
     )
 
 
+@pytest.mark.slow
 def test_v2w_gan_step_runs_and_learns():
     cfg = _tiny_v2w_cfg()
     batch = _v2w_synth_batch(cfg)
@@ -126,6 +134,7 @@ def test_v2w_gan_step_runs_and_learns():
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_v2w_gan_step_sharded_mesh():
     cfg = _tiny_v2w_cfg()
     mesh = create_mesh()
@@ -135,6 +144,19 @@ def test_v2w_gan_step_sharded_mesh():
     sharded = shard_batch(batch, mesh)
     state, metrics = step(state, sharded, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["gen_loss_total"]))
+
+
+def test_v2w_gan_step_single():
+    """Fast default-run GAN-step coverage (one compile, one step); the
+    multi-step learning + sharded variants above are marked slow."""
+    cfg = _tiny_v2w_cfg()
+    batch = _v2w_synth_batch(cfg, B=2, T=4)
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = v2w.make_train_step(models, cfg)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["gen_loss_total"]))
+    assert np.isfinite(float(metrics["disc_loss_total"]))
+    assert int(state.step) == 1
 
 
 def test_v2w_lr_decay():
