@@ -1,0 +1,66 @@
+"""Worker for the 2-process jax.distributed data-parallel test.
+
+Usage (spawned by tests/test_multihost.py):
+    python tests/_multihost_worker.py <coordinator> <num_procs> <proc_id>
+
+Each process owns 1 CPU device and the CONTIGUOUS half of a deterministic
+global batch (matching NamedSharding's device-order layout), builds the
+global batch with ``shard_batch`` (make_array_from_process_local_data),
+replicates the state via host_local_array_to_global_array, runs ONE jitted
+Text2Vec train step over the 2-device mesh, and prints the global loss.
+"""
+
+import os
+import sys
+
+coordinator, num_procs, proc_id = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=coordinator, num_processes=num_procs, process_id=proc_id
+)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_models import T2V_SMALL  # noqa: E402
+from tests.test_train_steps import _t2v_synth_batch  # noqa: E402
+from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch  # noqa: E402
+from wavthruvec_pytorch_tpu.train import text2vec_train as t2v  # noqa: E402
+
+assert jax.process_count() == num_procs
+assert len(jax.devices()) == num_procs  # one device per host
+
+cfg = T2V_SMALL
+GLOBAL_B = 4
+global_batch = _t2v_synth_batch(cfg, B=GLOBAL_B, seed=0)
+local = {
+    k: np.asarray(v)[proc_id * (GLOBAL_B // num_procs):(proc_id + 1) * (GLOBAL_B // num_procs)]
+    for k, v in global_batch.items()
+}
+
+mesh = create_mesh()
+assert mesh.devices.size == num_procs
+
+model, state = t2v.init_state(
+    cfg, jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in local.items()}
+)
+state = multihost_utils.host_local_array_to_global_array(state, mesh, P())
+
+step, _ = t2v.make_train_step(model, cfg, mesh=mesh)
+sharded = shard_batch(local, mesh)
+for k, v in sharded.items():
+    assert v.shape[0] == GLOBAL_B, (k, v.shape)  # logically global
+
+state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+loss = float(metrics["total_loss"])
+print(f"MULTIHOST_LOSS {proc_id} {loss!r}", flush=True)

@@ -39,6 +39,7 @@ def load_buffer(
     feat_root: Optional[str] = None,
     limit: Optional[int] = None,
     npy_loader=None,
+    shard_across_hosts: bool = True,
 ) -> List[Dict]:
     """Load every ``npy|text|spk`` line into RAM (reference: dataset.py:64-103).
 
@@ -52,6 +53,12 @@ def load_buffer(
         lines.extend(process_text(p))
     if limit is not None:
         lines = lines[:limit]
+    if shard_across_hosts:
+        # per-host shard under multi-process data parallelism (the
+        # DistributedSampler replacement); no-op single-process
+        from wavthruvec_pytorch_tpu.parallel import process_shard
+
+        lines = process_shard(lines)
 
     parsed = [line.strip().split("|") for line in lines]
     paths = [os.path.join(feat_root, p[0]) for p in parsed]
@@ -118,13 +125,17 @@ class BucketedLoader:
         seed: int = 0,
         drop_last: bool = True,
         shuffle: bool = True,
+        batch_size: Optional[int] = None,
     ):
         self.buffer = buffer
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.shuffle = shuffle
-        self.super_batch = cfg.batch_size * cfg.batch_expand_size
+        # per-host batch size may differ from the global cfg.batch_size
+        # under multi-process data parallelism (parallel.local_batch_size)
+        self.batch_size = batch_size or cfg.batch_size
+        self.super_batch = self.batch_size * cfg.batch_expand_size
 
     def __len__(self) -> int:
         n_super = len(self.buffer) // self.super_batch
@@ -142,7 +153,7 @@ class BucketedLoader:
             items.sort(key=lambda it: -len(it["text_enc"]))
             for j in range(self.cfg.batch_expand_size):
                 chunk = items[
-                    j * self.cfg.batch_size : (j + 1) * self.cfg.batch_size
+                    j * self.batch_size : (j + 1) * self.batch_size
                 ]
                 yield make_padded_batch(chunk, self.cfg)
 

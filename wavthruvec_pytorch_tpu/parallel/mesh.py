@@ -68,10 +68,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
     """Place a host-side batch pytree so its leading axis is sharded over the
-    mesh (the TPU analog of DistributedSampler feeding per-rank shards)."""
+    mesh (the TPU analog of DistributedSampler feeding per-rank shards).
+
+    Single-process: ``device_put`` with a NamedSharding.  Multi-process: each
+    host holds only its LOCAL slice of the global batch (its filelist shard,
+    see ``process_shard``) and the global array is assembled per-host with
+    ``jax.make_array_from_process_local_data`` — the DistributedSampler
+    equivalent where the "gather" is purely logical (no data movement).
+    """
     sharding = data_sharding(mesh, data_axis)
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    if jax.process_count() == 1:
+        def put(x):
+            return jax.device_put(x, sharding)
+    else:
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape
+            )
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def process_shard(items, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
+    """Per-host shard of a filelist/buffer: host i takes items[i::n]
+    (replaces DistributedSampler's rank sharding,
+    vec2wav/train.py:114).  Truncates to a common length so every host
+    emits the same number of batches (no rank can run ahead)."""
+    n = jax.process_count() if process_count is None else process_count
+    i = jax.process_index() if process_index is None else process_index
+    if n == 1:
+        return list(items)
+    per = len(items) // n
+    return list(items)[i::n][:per]
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """Per-host batch size for a global batch (must divide evenly)."""
+    n = jax.process_count()
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by {n} hosts"
+        )
+    return global_batch_size // n

@@ -25,10 +25,15 @@ from wavthruvec_pytorch_tpu import checkpoint as ckpt
 from wavthruvec_pytorch_tpu.config import Text2VecConfig, save_config
 from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
 from wavthruvec_pytorch_tpu.data.prefetch import prefetched
-from wavthruvec_pytorch_tpu.parallel import mesh_for_batch, shard_batch
+from wavthruvec_pytorch_tpu.parallel import (
+    local_batch_size,
+    maybe_distributed_init,
+    mesh_for_batch,
+    shard_batch,
+)
 from wavthruvec_pytorch_tpu.text import TextFrontend
 from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
-from wavthruvec_pytorch_tpu.utils.logging import StepTimer, TrainLogger
+from wavthruvec_pytorch_tpu.utils.logging import StepTimer, host_logger
 from wavthruvec_pytorch_tpu.utils.plots import plot_alignment_to_numpy
 
 
@@ -78,10 +83,13 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
         if os.path.exists(cfg.vocab_path):
             cfg = cfg.with_vocab_from_file(cfg.vocab_path)
 
+    maybe_distributed_init()
     print("Use Text2Vec (TPU-native)")
     frontend = TextFrontend.from_vocab_file(cfg.vocab_path)
     buffer = load_buffer(list(cfg.train_list), cfg, frontend)
-    loader = BucketedLoader(buffer, cfg, seed=args.seed)
+    loader = BucketedLoader(
+        buffer, cfg, seed=args.seed, batch_size=local_batch_size(cfg.batch_size)
+    )
 
     mesh = mesh_for_batch(cfg.batch_size)
     if mesh is not None:
@@ -111,7 +119,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
 
     os.makedirs(cfg.checkpoint_path, exist_ok=True)
     save_config(cfg, os.path.join(cfg.run_path, cfg.log_seed, "config.json"))
-    logger = TrainLogger(cfg.tensorboard_logs_path, cfg.logger_path)
+    logger = host_logger(cfg.tensorboard_logs_path, cfg.logger_path)
     timer = StepTimer()
 
     # validation loader (reference defines compute_validation_loss but leaves
@@ -134,6 +142,10 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     for epoch in range(cfg.epochs):
         for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
             audiopaths = batch.pop("audiopaths")
+            # host-side copies for logging (sharded device arrays are not
+            # addressable across hosts under multi-process training)
+            log_in_len = int(batch["input_lengths"][0])
+            log_out_len = int(batch["output_lengths"][0])
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
@@ -168,17 +180,18 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                         elapsed, (total_step - iteration) * timer.mean
                     ),
                 )
-                name = os.path.basename(audiopaths[0]) if audiopaths else ""
-                out_len = int(batch["output_lengths"][0])
-                in_len = int(batch["input_lengths"][0])
-                soft = np.asarray(metrics["attn_soft_0"])[:out_len, :in_len].T
-                hard = np.asarray(metrics["attn_hard_0"])[:out_len, :in_len].T
-                logger.add_image(
-                    "train/attention_weights(align_soft)",
-                    plot_alignment_to_numpy(soft, title=name), iteration)
-                logger.add_image(
-                    "train/attention_weights_mas(align_hard)",
-                    plot_alignment_to_numpy(hard, title=name), iteration)
+                if jax.process_count() == 1:
+                    name = os.path.basename(audiopaths[0]) if audiopaths else ""
+                    soft = np.asarray(metrics["attn_soft_0"])[
+                        :log_out_len, :log_in_len].T
+                    hard = np.asarray(metrics["attn_hard_0"])[
+                        :log_out_len, :log_in_len].T
+                    logger.add_image(
+                        "train/attention_weights(align_soft)",
+                        plot_alignment_to_numpy(soft, title=name), iteration)
+                    logger.add_image(
+                        "train/attention_weights_mas(align_hard)",
+                        plot_alignment_to_numpy(hard, title=name), iteration)
 
             if iteration % cfg.save_step == 0:
                 path = os.path.join(cfg.checkpoint_path, f"checkpoint_{iteration}")

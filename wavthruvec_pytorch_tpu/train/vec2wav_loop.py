@@ -32,9 +32,15 @@ from wavthruvec_pytorch_tpu.data.vocoder_data import (
     pad_vocoder_batch,
 )
 from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
-from wavthruvec_pytorch_tpu.parallel import mesh_for_batch, shard_batch
+from wavthruvec_pytorch_tpu.parallel import (
+    local_batch_size,
+    maybe_distributed_init,
+    mesh_for_batch,
+    process_shard,
+    shard_batch,
+)
 from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
-from wavthruvec_pytorch_tpu.utils.logging import TrainLogger
+from wavthruvec_pytorch_tpu.utils.logging import host_logger
 from wavthruvec_pytorch_tpu.utils.plots import plot_spectrogram
 
 
@@ -78,16 +84,19 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
     if cfg is None:
         cfg = Vec2WavConfig()
 
+    maybe_distributed_init()
     print("Initializing Training Process.. (TPU-native)")
     training_files, validation_files = get_dataset_filelist(
         cfg.input_training_file, cfg.input_validation_file
     )
+    training_files = process_shard(training_files)
     trainset = VocoderDataset(
         training_files, cfg, fine_tuning=args.fine_tuning,
         base_mels_path=args.input_mels_dir,
     )
     loader = VocoderLoader(
-        trainset, cfg.batch_size, seed=cfg.seed, num_workers=args.num_workers
+        trainset, local_batch_size(cfg.batch_size), seed=cfg.seed,
+        num_workers=args.num_workers,
     )
     validset = VocoderDataset(
         validation_files, cfg, fine_tuning=args.fine_tuning,
@@ -115,7 +124,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
         print(f"resumed from {cp} at step {steps}")
 
     save_config(cfg, os.path.join(cfg.run_path, cfg.log_seed, "config.json"))
-    logger = TrainLogger(cfg.tensorboard_logs_path, cfg.logger_path)
+    logger = host_logger(cfg.tensorboard_logs_path, cfg.logger_path)
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
     for epoch in range(max(0, last_epoch), args.training_epochs):

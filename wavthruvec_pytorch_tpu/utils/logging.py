@@ -66,6 +66,27 @@ class TrainLogger:
             self.tb.flush()
 
 
+class NullLogger:
+    """No-op logger for non-zero hosts under multi-process training (the
+    reference gates TB/text logging to rank 0, vec2wav/train.py:124-136)."""
+
+    def add_scalar(self, *a, **k): pass
+    def add_image(self, *a, **k): pass
+    def add_audio(self, *a, **k): pass
+    def add_figure(self, *a, **k): pass
+    def text(self, *a, **k): pass
+    def flush(self): pass
+
+
+def host_logger(tb_dir, text_dir=None):
+    """TrainLogger on process 0, NullLogger elsewhere."""
+    import jax
+
+    if jax.process_index() == 0:
+        return TrainLogger(tb_dir, text_dir)
+    return NullLogger()
+
+
 class StepTimer:
     """Rolling per-iteration wall-clock window (reference: text2vec/train.py
     Time/clear_Time bookkeeping, lines 276, 442-448)."""
