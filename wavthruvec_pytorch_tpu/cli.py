@@ -7,6 +7,7 @@ prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
     python -m wavthruvec_pytorch_tpu.cli prepare-data   [--wavs_path ... ]
     python -m wavthruvec_pytorch_tpu.cli pre-spk-emb    [--wavs_root ...]
     python -m wavthruvec_pytorch_tpu.cli synthesize     --text "..." [...]
+    python -m wavthruvec_pytorch_tpu.cli make-demo-data [--root ./data/demo]
 """
 
 from __future__ import annotations
@@ -25,11 +26,13 @@ def main(argv=None):
     if cmd == "train-text2vec":
         from wavthruvec_pytorch_tpu.train import text2vec_loop
 
-        return text2vec_loop.main(text2vec_loop.parse_args(rest))
+        text2vec_loop.main(text2vec_loop.parse_args(rest))  # returns the state
+        return 0
     if cmd == "train-vec2wav":
         from wavthruvec_pytorch_tpu.train import vec2wav_loop
 
-        return vec2wav_loop.main(vec2wav_loop.parse_args(rest))
+        vec2wav_loop.main(vec2wav_loop.parse_args(rest))
+        return 0
     if cmd == "eval-text2vec":
         from wavthruvec_pytorch_tpu.infer import eval as t2v_eval
 
@@ -40,8 +43,28 @@ def main(argv=None):
         return _pre_spk_emb(rest)
     if cmd == "synthesize":
         return _synthesize(rest)
+    if cmd == "make-demo-data":
+        return _make_demo_data(rest)
     print(f"unknown command: {cmd}\n{__doc__}")
     return 1
+
+
+def _make_demo_data(rest):
+    from wavthruvec_pytorch_tpu.data.demo import make_demo_data
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="./data/demo")
+    p.add_argument("--n_speakers", type=int, default=2)
+    p.add_argument("--n_utts", type=int, default=6)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(rest)
+    root = make_demo_data(a.root, a.n_speakers, a.n_utts, seed=a.seed)
+    print(f"demo dataset written to {root}; smoke-run with:")
+    print(f"  python -m wavthruvec_pytorch_tpu.cli train-text2vec "
+          f"--config {root}/text2vec_tiny.json --max_steps 3")
+    print(f"  python -m wavthruvec_pytorch_tpu.cli train-vec2wav "
+          f"--config {root}/vec2wav_tiny.json --max_steps 3 --training_epochs 1")
+    return 0
 
 
 def _prepare_data(rest):

@@ -79,7 +79,12 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     if args is None:
         args = parse_args([])
     if cfg is None:
-        cfg = Text2VecConfig()
+        if getattr(args, "config", None):
+            from wavthruvec_pytorch_tpu.config import load_config
+
+            cfg = load_config(Text2VecConfig, args.config)
+        else:
+            cfg = Text2VecConfig()
         if os.path.exists(cfg.vocab_path):
             cfg = cfg.with_vocab_from_file(cfg.vocab_path)
 
@@ -216,6 +221,8 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="",
+                        help="Text2VecConfig json (e.g. data/demo/text2vec.json)")
     parser.add_argument("--restore_step", type=int, default=0)
     parser.add_argument("--frozen_learning_rate", type=bool, default=False)
     parser.add_argument("--learning_rate_frozen", type=float, default=1e-3)

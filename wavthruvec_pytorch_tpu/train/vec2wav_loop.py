@@ -82,7 +82,12 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
     if args is None:
         args = parse_args([])
     if cfg is None:
-        cfg = Vec2WavConfig()
+        if getattr(args, "config", None):
+            from wavthruvec_pytorch_tpu.config import load_config
+
+            cfg = load_config(Vec2WavConfig, args.config)
+        else:
+            cfg = Vec2WavConfig()
 
     maybe_distributed_init()
     print("Initializing Training Process.. (TPU-native)")
@@ -175,6 +180,8 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="",
+                        help="Vec2WavConfig json (e.g. data/demo/vec2wav.json)")
     parser.add_argument("--group_name", default=None)
     parser.add_argument("--input_wavs_dir", default="LJSpeech-1.1/wavs")
     parser.add_argument("--input_mels_dir", default="ft_dataset")
