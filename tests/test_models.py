@@ -144,6 +144,29 @@ def test_text2vec_infer_branch(t2v_setup):
             assert np.abs(feat[b, total[b]:]).max() == 0.0
 
 
+def test_text2vec_infer_precomputed_spk_emb(t2v_setup):
+    """Serving fast path: a precomputed speaker embedding must reproduce the
+    wav_feat-conditioned inference exactly (ECAPA skipped per call)."""
+    cfg, model, variables, batch = t2v_setup
+    src_seq, src_pos, wav_feat, *_ = batch
+    spk = model.apply(variables, wav_feat, method=Text2Vec.speaker_embedding)
+    out_ref = model.apply(
+        variables, src_seq, src_pos, wav_feat, 48, 1.0, method=Text2Vec.infer
+    )
+    out_fast = model.apply(
+        variables, src_seq, src_pos, None, 48, 1.0, spk,
+        method=Text2Vec.infer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast["feat_postnet_output"]),
+        np.asarray(out_ref["feat_postnet_output"]),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fast["durations"]), np.asarray(out_ref["durations"])
+    )
+
+
 def test_text2vec_infer_alpha_scales_durations(t2v_setup):
     cfg, model, variables, batch = t2v_setup
     src_seq, src_pos, wav_feat, *_ = batch

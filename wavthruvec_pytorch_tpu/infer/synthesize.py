@@ -41,10 +41,11 @@ class Synthesizer:
 
     # --- jitted stages (cached per static shapes) --------------------------
     @functools.lru_cache(maxsize=16)
-    def _t2v_fn(self, max_frames: int, alpha: float):
-        def fn(variables, src_seq, src_pos, ref_feat):
+    def _t2v_fn(self, max_frames: int, alpha: float, use_spk_emb: bool):
+        def fn(variables, src_seq, src_pos, ref_feat, spk_emb):
             out = self.t2v.apply(
                 variables, src_seq, src_pos, ref_feat, max_frames, alpha,
+                spk_emb if use_spk_emb else None,
                 method=Text2Vec.infer,
             )
             return (
@@ -54,6 +55,23 @@ class Synthesizer:
             )
 
         return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=4)
+    def _spk_fn(self):
+        def fn(variables, ref_feat):
+            return self.t2v.apply(
+                variables, ref_feat, method=Text2Vec.speaker_embedding
+            )
+
+        return jax.jit(fn)
+
+    def speaker_embedding(self, ref_feats: np.ndarray) -> np.ndarray:
+        """Precompute the t2v-ECAPA speaker embedding once per speaker;
+        pass the result as ``t2v_spk_emb`` to skip the ECAPA pass (and the
+        reference-clip transfer) on every synthesis call."""
+        return np.asarray(
+            self._spk_fn()(self.t2v_variables, jnp.asarray(ref_feats, jnp.float32))
+        )
 
     @functools.lru_cache(maxsize=16)
     def _voc_fn(self):
@@ -66,12 +84,16 @@ class Synthesizer:
     def text_to_latents(
         self,
         texts: Sequence[str],
-        ref_feats: np.ndarray,
+        ref_feats: Optional[np.ndarray] = None,
         alpha: float = 1.0,
         max_frames: Optional[int] = None,
+        t2v_spk_emb: Optional[np.ndarray] = None,
     ) -> Dict[str, np.ndarray]:
         """texts + [B, T_ref, 1024] speaker-reference wav2vec feats ->
-        padded latents [B, max_frames, 1024] + per-item frame counts."""
+        padded latents [B, max_frames, 1024] + per-item frame counts.
+
+        With ``t2v_spk_emb`` ([B, n_speaker_dim] from ``speaker_embedding``)
+        the ECAPA pass is skipped (``ref_feats`` may be None)."""
         ids, lengths = self.frontend.encode_batch(
             texts, pad_to=pad_to_bucket(
                 max(len(self.frontend.text_to_sequence(t)) for t in texts),
@@ -81,12 +103,21 @@ class Synthesizer:
         src_pos = np.where(ids != 0, np.arange(1, ids.shape[1] + 1)[None], 0)
         if max_frames is None:
             max_frames = self.t2v_cfg.frame_buckets[-1]
-        fn = self._t2v_fn(max_frames, float(alpha))
+        use_spk = t2v_spk_emb is not None
+        fn = self._t2v_fn(max_frames, float(alpha), use_spk)
+        B = ids.shape[0]
+        if use_spk:
+            ref = jnp.zeros((B, 1, self.t2v_cfg.n_feat_dim), jnp.float32)
+            spk = jnp.asarray(t2v_spk_emb, jnp.float32)
+        else:
+            ref = jnp.asarray(ref_feats, jnp.float32)
+            spk = jnp.zeros((B, self.t2v_cfg.n_speaker_dim), jnp.float32)
         feat, feat_postnet, total = fn(
             self.t2v_variables,
             jnp.asarray(ids, jnp.int32),
             jnp.asarray(src_pos, jnp.int32),
-            jnp.asarray(ref_feats, jnp.float32),
+            ref,
+            spk,
         )
         return {
             "feat_output": np.asarray(feat),
@@ -121,14 +152,17 @@ class Synthesizer:
     def synthesize(
         self,
         texts: Sequence[str],
-        ref_feats: np.ndarray,
+        ref_feats: Optional[np.ndarray],
         spk_emb: np.ndarray,
         alpha: float = 1.0,
         max_frames: Optional[int] = None,
         seed: int = 0,
+        t2v_spk_emb: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Full pipeline -> ([B, L] waveforms, [B] sample counts)."""
-        out = self.text_to_latents(texts, ref_feats, alpha, max_frames)
+        out = self.text_to_latents(
+            texts, ref_feats, alpha, max_frames, t2v_spk_emb=t2v_spk_emb
+        )
         wav = self.latents_to_wav(out["feat_postnet_output"], spk_emb, seed=seed)
         n_samples = out["total_frames"] * self.v2w_cfg.total_upsample
         return wav, n_samples

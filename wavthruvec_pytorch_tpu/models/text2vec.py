@@ -48,7 +48,8 @@ class Encoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, src_seq, src_pos, wav_feat=None, deterministic=True, train=False):
+    def __call__(self, src_seq, src_pos, wav_feat=None, deterministic=True,
+                 train=False, spk_emb=None):
         cfg = self.cfg
         slf_attn_mask = get_attn_key_pad_mask(src_seq, src_seq)
         non_pad_mask = get_non_pad_mask(src_seq)
@@ -65,16 +66,16 @@ class Encoder(nn.Module):
         )
         enc_output = text_emb + jnp.take(pos_table, src_pos, axis=0)
 
-        spk_emb = None
         if cfg.use_multi_speaker_condition:
-            spk_emb = ECAPA_TDNN(
-                C=cfg.spk_channel,
-                n_feat_dim=cfg.n_feat_dim,
-                n_speaker_dim=cfg.n_speaker_dim,
-                input_wav=cfg.input_wav,
-                dtype=self.dtype,
-                name="speaker_encoder",
-            )(wav_feat, train=train)
+            if spk_emb is None:
+                spk_emb = ECAPA_TDNN(
+                    C=cfg.spk_channel,
+                    n_feat_dim=cfg.n_feat_dim,
+                    n_speaker_dim=cfg.n_speaker_dim,
+                    input_wav=cfg.input_wav,
+                    dtype=self.dtype,
+                    name="speaker_encoder",
+                )(wav_feat, train=train)
             spk_rep = jnp.broadcast_to(
                 spk_emb[:, None, :],
                 (enc_output.shape[0], enc_output.shape[1], cfg.n_speaker_dim),
@@ -255,12 +256,19 @@ class Text2Vec(nn.Module):
         wav_feat,
         max_frames: int,
         alpha: float = 1.0,
+        spk_emb=None,
     ) -> Dict[str, Any]:
         """Inference branch (reference: model.py:340-356): duration-predictor
         path, no MAS; output padded to the static ``max_frames`` with a
-        per-item ``total_frames`` length."""
+        per-item ``total_frames`` length.
+
+        ``spk_emb`` (precomputed [B, n_speaker_dim], e.g. from
+        ``speaker_embedding``) skips the per-call ECAPA pass over the
+        reference clip — the serving fast path where the speaker is fixed.
+        """
         encoder_output, _, _, _ = self.encoder(
-            src_seq, src_pos, wav_feat, deterministic=True, train=False
+            src_seq, src_pos, wav_feat, deterministic=True, train=False,
+            spk_emb=spk_emb,
         )
         dp_out = self.duration_predictor(encoder_output, deterministic=True)
         # (dp + 0.5) * alpha, truncated toward zero (module.py:97-98)
