@@ -78,7 +78,9 @@ def bench_t2v(B=16, N=64, T=1024):
     }
 
 
-def bench_v2w(B=2, T=256):
+def bench_v2w(B=2, T=256, dtype="float32"):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +88,7 @@ def bench_v2w(B=2, T=256):
     from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
     from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
 
-    cfg = Vec2WavConfig()
+    cfg = dataclasses.replace(Vec2WavConfig(), compute_dtype=dtype)
     rng = np.random.default_rng(0)
     L = T * cfg.total_upsample
     audio = (rng.standard_normal((B, L, 1)) * 0.1).astype(np.float32)
@@ -116,18 +118,43 @@ def bench_v2w(B=2, T=256):
     audio_sec = B * L / cfg.sampling_rate
     return {
         "stage": "vec2wav_gan_train_step",
-        "batch": B, "frames": T,
+        "batch": B, "frames": T, "dtype": dtype,
         "sec_per_step": round(dt, 4),
         "audio_sec_per_sec": round(audio_sec / dt, 2),
     }
 
 
+def sweep_v2w():
+    """GAN-training throughput levers: full-utterance vs feature-space
+    windowed mode (8192//320 = 25 frames), batch scaling, bf16."""
+    seg_frames = 8192 // 320
+    out = []
+    for B, T, dt in [
+        (2, 256, "float32"),      # reference-shaped default
+        (8, 256, "float32"),      # full-utterance, bigger batch
+        (8, seg_frames, "float32"),
+        (16, seg_frames, "float32"),
+        (32, seg_frames, "float32"),
+        (64, seg_frames, "float32"),
+        (16, seg_frames, "bfloat16"),
+        (64, seg_frames, "bfloat16"),
+        (8, 256, "bfloat16"),
+    ]:
+        r = bench_v2w(B, T, dt)
+        print(json.dumps(r), flush=True)
+        out.append(r)
+    return out
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--stage", default="both", choices=["t2v", "v2w", "both"])
+    p.add_argument("--stage", default="both",
+                   choices=["t2v", "v2w", "both", "v2w-sweep"])
     a = p.parse_args()
     _cache()
     if a.stage in ("t2v", "both"):
         print(json.dumps(bench_t2v()))
     if a.stage in ("v2w", "both"):
         print(json.dumps(bench_v2w()))
+    if a.stage == "v2w-sweep":
+        sweep_v2w()
