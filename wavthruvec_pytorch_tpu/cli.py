@@ -144,6 +144,12 @@ def _synthesize(rest):
                    help="fused Pallas resblock units (TPU inference fast path)")
     p.add_argument("--folded", action="store_true",
                    help="pre-fold weight norm (remove_weight_norm analog)")
+    p.add_argument("--stream", action="store_true",
+                   help="chunked vocoder inference (O(chunk) memory, "
+                   "low time-to-first-audio; bit-equal to full forward)")
+    p.add_argument("--chunk_frames", type=int, default=100)
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="output frame cap (default: largest frame bucket)")
     a = p.parse_args(rest)
 
     import os
@@ -197,7 +203,22 @@ def _synthesize(rest):
     synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend, gen=gen)
     ref_b = np.repeat(ref, len(a.text), axis=0)
     spk_b = np.repeat(spk, len(a.text), axis=0)
-    wavs, n_samples = synth.synthesize(a.text, ref_b, spk_b, alpha=a.alpha)
+    if a.stream:
+        from wavthruvec_pytorch_tpu.infer.streaming import StreamingVocoder
+
+        out = synth.text_to_latents(
+            a.text, ref_b, alpha=a.alpha, max_frames=a.max_frames or None
+        )
+        sv = StreamingVocoder(gen, gen_vars, v2w_cfg, chunk_frames=a.chunk_frames)
+        noise = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(0), (len(a.text), v2w_cfg.noise_dim)))
+        wavs = sv.vocode(out["feat_postnet_output"], spk_b, noise)
+        n_samples = out["total_frames"] * v2w_cfg.total_upsample
+    else:
+        wavs, n_samples = synth.synthesize(
+            a.text, ref_b, spk_b, alpha=a.alpha,
+            max_frames=a.max_frames or None,
+        )
     os.makedirs(a.out_dir, exist_ok=True)
     for i, (w, n) in enumerate(zip(wavs, n_samples)):
         path = os.path.join(a.out_dir, f"synth_{i}.wav")
