@@ -8,6 +8,7 @@ prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
     python -m wavthruvec_pytorch_tpu.cli pre-spk-emb    [--wavs_root ...]
     python -m wavthruvec_pytorch_tpu.cli synthesize     --text "..." [...]
     python -m wavthruvec_pytorch_tpu.cli make-demo-data [--root ./data/demo]
+    python -m wavthruvec_pytorch_tpu.cli serve          --spk_emb_dir ... (stdin loop)
 """
 
 from __future__ import annotations
@@ -45,8 +46,84 @@ def main(argv=None):
         return _synthesize(rest)
     if cmd == "make-demo-data":
         return _make_demo_data(rest)
+    if cmd == "serve":
+        return _serve(rest)
     print(f"unknown command: {cmd}\n{__doc__}")
     return 1
+
+
+def _serve(rest):
+    """Long-running stdin->wav synthesis loop (infer/serve.py)."""
+    import numpy as np
+
+    from wavthruvec_pytorch_tpu import checkpoint as ckpt
+    from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
+    from wavthruvec_pytorch_tpu.infer.serve import SpeakerStore, serve_loop
+    from wavthruvec_pytorch_tpu.infer.synthesize import Synthesizer
+    from wavthruvec_pytorch_tpu.models import Generator, Text2Vec
+    from wavthruvec_pytorch_tpu.text import TextFrontend
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--spk_emb_dir", required=True)
+    p.add_argument("--ref_feat_dir", default=None,
+                   help="{spk}/*.npy wav2vec reference clips for t2v "
+                   "conditioning (cached per speaker)")
+    p.add_argument("--t2v_checkpoint", default=None)
+    p.add_argument("--gen_checkpoint", default=None)
+    p.add_argument("--vocab_path", default="./data/vocab.txt")
+    p.add_argument("--out_dir", default="./serve_out")
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--max_frames", type=int, default=0)
+    p.add_argument("--speaker", default=None, help="default speaker id")
+    a = p.parse_args(rest)
+
+    import jax
+    import jax.numpy as jnp
+
+    t2v_cfg = Text2VecConfig().with_vocab_from_file(a.vocab_path)
+    v2w_cfg = Vec2WavConfig()
+    frontend = TextFrontend.from_vocab_file(a.vocab_path)
+    t2v = Text2Vec(t2v_cfg)
+    gen = Generator(v2w_cfg)
+    rng = jax.random.PRNGKey(0)
+    t_ref = 16
+    t2v_vars = t2v.init(
+        {"params": rng, "dropout": rng},
+        jnp.ones((1, 8), jnp.int32), jnp.arange(1, 9, dtype=jnp.int32)[None],
+        jnp.zeros((1, t_ref, t2v_cfg.n_feat_dim)),
+        jnp.array([8]), jnp.array([t_ref]),
+        jnp.arange(1, t_ref + 1, dtype=jnp.int32)[None],
+        attn_prior=jnp.ones((1, t_ref, 8)),
+        deterministic=True, train_bn=False,
+    )
+    if a.t2v_checkpoint:
+        if a.t2v_checkpoint.endswith(".pth.tar"):
+            sd = ckpt.load_torch_state_dict(a.t2v_checkpoint, key="model")
+            t2v_vars = ckpt.import_text2vec(sd, t2v_cfg)
+        else:
+            t2v_vars = ckpt.restore_checkpoint(a.t2v_checkpoint, t2v_vars)
+    gen_vars = gen.init(
+        rng, jnp.zeros((1, 8, v2w_cfg.n_feat_dim)),
+        jnp.zeros((1, v2w_cfg.spk_dim)), jnp.zeros((1, v2w_cfg.noise_dim)),
+        train=False,
+    )
+    if a.gen_checkpoint:
+        import os as _os
+
+        if _os.path.isdir(a.gen_checkpoint):
+            gen_vars = ckpt.restore_checkpoint(a.gen_checkpoint, gen_vars)
+        else:
+            sd = ckpt.load_torch_state_dict(a.gen_checkpoint, key="generator")
+            gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
+
+    synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend)
+    store = SpeakerStore(synth, a.spk_emb_dir, a.ref_feat_dir)
+    n = serve_loop(
+        synth, store, a.out_dir, default_speaker=a.speaker, alpha=a.alpha,
+        max_frames=a.max_frames or None,
+    )
+    print(f"served {n} requests")
+    return 0
 
 
 def _make_demo_data(rest):
