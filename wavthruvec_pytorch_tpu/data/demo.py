@@ -55,8 +55,18 @@ def make_demo_data(
     from scipy.io import wavfile
 
     tiny_feat_dim = 64  # parallel low-dim tree for CPU-smoke tiny configs
+    # Structured synthesis so the data is LEARNABLE, not noise: every char
+    # has a fixed feature template and a pitch; an utterance's features are
+    # its chars' templates repeated for per-char durations (plus small
+    # noise), and its audio is a phase-continuous sine at the per-char
+    # pitch.  Text <-> features <-> audio are therefore mutually predictable
+    # — Text2Vec can actually learn the alignment/durations and Vec2Wav can
+    # reduce mel loss, so demo training runs show real convergence.
     lines = []
     chars = list(charset)
+    templates = rng.standard_normal((len(chars), n_feat_dim)).astype(np.float32)
+    pitches = 80.0 + 8.0 * rng.permutation(len(chars)) % 400
+    char_index = {c: i for i, c in enumerate(chars)}
     for s in range(n_speakers):
         spk = f"SSB{s:04d}"
         feat_dir = os.path.join(root, "w2v_feat", "train", spk)
@@ -70,15 +80,24 @@ def make_demo_data(
             os.path.join(root, "spk_emb", f"{spk}.npy"),
             rng.standard_normal(192).astype(np.float32),
         )
+        spk_shift = 1.0 + 0.05 * s  # mild per-speaker pitch shift
         for u in range(n_utts):
-            T = int(rng.integers(frames[0], frames[1] + 1))
-            feat = (rng.standard_normal((1, T, n_feat_dim)) * 0.3).astype(np.float32)
+            n_txt = int(rng.integers(4, max(5, frames[1] // 5)))
+            text = "".join(rng.choice(chars, size=n_txt))
+            durs = rng.integers(3, 8, size=n_txt)
+            T = int(durs.sum())
+            idx = np.repeat([char_index[c] for c in text], durs)
+            feat = templates[idx] + 0.05 * rng.standard_normal(
+                (T, n_feat_dim)
+            ).astype(np.float32)
+            feat = feat[None].astype(np.float32)
             np.save(os.path.join(feat_dir, f"u{u}.npy"), feat)
             np.save(os.path.join(tiny_dir, f"u{u}.npy"), feat[:, :, :tiny_feat_dim])
-            wav = (rng.standard_normal(T * upsample) * 2000).astype(np.int16)
+            freqs = np.repeat(pitches[idx] * spk_shift, upsample)
+            phase = np.cumsum(2 * np.pi * freqs / sampling_rate)
+            wav_f = 0.5 * np.sin(phase) + 0.01 * rng.standard_normal(len(phase))
+            wav = (wav_f * 20000).astype(np.int16)
             wavfile.write(os.path.join(wav_dir, f"u{u}.wav"), sampling_rate, wav)
-            n_txt = int(rng.integers(4, max(5, T // 4)))
-            text = "".join(rng.choice(chars, size=n_txt))
             lines.append(f"train/{spk}/u{u}.npy|{text}|{spk}")
     n_val = max(1, len(lines) // 6)
     with open(os.path.join(root, "enc_train.txt"), "w", encoding="utf-8") as f:
@@ -96,6 +115,10 @@ def make_demo_data(
         n_feat_dim=n_feat_dim,
         batch_size=2,
         batch_expand_size=2,
+        # reference lr=0.1 is tuned for batch 16 x a full corpus; on this
+        # tiny demo set LAMB at 0.1 diverges after ~300 steps — 0.01
+        # converges (losses incl. attn binarization drop monotonically)
+        learning_rate=0.01,
         epochs=2,
         log_step=5,
         save_step=100,

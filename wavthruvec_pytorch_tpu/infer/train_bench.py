@@ -34,14 +34,18 @@ def _timeit(run_once, iters=10):
     return float(np.median(ts[2:]))
 
 
-def bench_t2v(B=16, N=64, T=1024):
+def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from wavthruvec_pytorch_tpu.config import Text2VecConfig
     from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
 
-    cfg = Text2VecConfig()
+    cfg = dataclasses.replace(
+        Text2VecConfig(), compute_dtype=dtype, remat=remat
+    )
     rng = np.random.default_rng(0)
     items = []
     for i in range(B):
@@ -73,9 +77,26 @@ def bench_t2v(B=16, N=64, T=1024):
     return {
         "stage": "text2vec_train_step",
         "batch": B, "text_pad": N, "frame_pad": T,
+        "dtype": dtype, "remat": remat,
         "sec_per_step": round(dt, 4),
         "steps_per_sec": round(1.0 / dt, 3),
     }
+
+
+def sweep_t2v():
+    """t2v training throughput levers: bf16 compute, remat, batch size."""
+    out = []
+    for B, T, dt, rm in [
+        (16, 1024, "float32", False),   # round-1 baseline shape
+        (16, 1024, "bfloat16", False),
+        (32, 1024, "float32", False),
+        (32, 1024, "bfloat16", False),
+        (16, 2048, "bfloat16", True),
+    ]:
+        r = bench_t2v(B=B, T=T, dtype=dt, remat=rm)
+        print(json.dumps(r), flush=True)
+        out.append(r)
+    return out
 
 
 def bench_v2w(B=2, T=256, dtype="float32"):
@@ -149,7 +170,7 @@ def sweep_v2w():
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="both",
-                   choices=["t2v", "v2w", "both", "v2w-sweep"])
+                   choices=["t2v", "v2w", "both", "v2w-sweep", "t2v-sweep"])
     a = p.parse_args()
     _cache()
     if a.stage in ("t2v", "both"):
@@ -158,3 +179,5 @@ if __name__ == "__main__":
         print(json.dumps(bench_v2w()))
     if a.stage == "v2w-sweep":
         sweep_v2w()
+    if a.stage == "t2v-sweep":
+        sweep_t2v()

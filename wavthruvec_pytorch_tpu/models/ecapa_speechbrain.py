@@ -25,7 +25,7 @@ channels (1024,1024,1024,1024,3072), kernels (5,3,3,3,1), dilations
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

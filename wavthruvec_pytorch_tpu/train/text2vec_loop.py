@@ -134,8 +134,17 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     if args.validate:
         val_lists = [p for p in cfg.val_list if os.path.exists(p)]
         if val_lists:
+            import dataclasses as _dc
+
             val_buffer = load_buffer(val_lists, cfg, frontend)
-            val_loader = BucketedLoader(val_buffer, cfg, seed=args.seed, shuffle=False)
+            # expand=1 so small val sets still yield batches (a super-batch
+            # of batch_size*expand items would drop a val set smaller than it)
+            val_cfg = _dc.replace(cfg, batch_expand_size=1)
+            val_loader = BucketedLoader(
+                val_buffer, val_cfg, seed=args.seed, shuffle=False
+            )
+            if len(val_loader) == 0:
+                print(f"validation set too small for batch {cfg.batch_size}")
         else:
             print(f"--validate set but no val list found at {cfg.val_list}")
 
