@@ -14,6 +14,7 @@ import os
 import sys
 
 coordinator, num_procs, proc_id = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+stage = sys.argv[4] if len(sys.argv) > 4 else "t2v"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -32,17 +33,34 @@ from jax.sharding import PartitionSpec as P  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tests.test_train_steps import (  # noqa: E402
+    _t2v_synth_batch,
+    _tiny_v2w_cfg,
+    _v2w_synth_batch,
+)
 from tests.test_models import T2V_SMALL  # noqa: E402
-from tests.test_train_steps import _t2v_synth_batch  # noqa: E402
 from wavthruvec_pytorch_tpu.parallel import create_mesh, shard_batch  # noqa: E402
-from wavthruvec_pytorch_tpu.train import text2vec_train as t2v  # noqa: E402
 
 assert jax.process_count() == num_procs
 assert len(jax.devices()) == num_procs  # one device per host
 
-cfg = T2V_SMALL
 GLOBAL_B = 4
-global_batch = _t2v_synth_batch(cfg, B=GLOBAL_B, seed=0)
+
+if stage == "t2v":
+    from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
+
+    cfg = T2V_SMALL
+    global_batch = _t2v_synth_batch(cfg, B=GLOBAL_B, seed=0)
+    init_state, make_step = t2v.init_state, t2v.make_train_step
+    loss_key = "total_loss"
+else:
+    from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
+
+    cfg = _tiny_v2w_cfg()
+    global_batch = _v2w_synth_batch(cfg, B=GLOBAL_B, seed=0)
+    init_state, make_step = v2w.init_state, v2w.make_train_step
+    loss_key = "gen_loss_total"
+
 local = {
     k: np.asarray(v)[proc_id * (GLOBAL_B // num_procs):(proc_id + 1) * (GLOBAL_B // num_procs)]
     for k, v in global_batch.items()
@@ -51,16 +69,16 @@ local = {
 mesh = create_mesh()
 assert mesh.devices.size == num_procs
 
-model, state = t2v.init_state(
+model, state = init_state(
     cfg, jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in local.items()}
 )
 state = multihost_utils.host_local_array_to_global_array(state, mesh, P())
 
-step, _ = t2v.make_train_step(model, cfg, mesh=mesh)
+step, _ = make_step(model, cfg, mesh=mesh)
 sharded = shard_batch(local, mesh)
 for k, v in sharded.items():
     assert v.shape[0] == GLOBAL_B, (k, v.shape)  # logically global
 
 state, metrics = step(state, sharded, jax.random.PRNGKey(1))
-loss = float(metrics["total_loss"])
+loss = float(metrics[loss_key])
 print(f"MULTIHOST_LOSS {proc_id} {loss!r}", flush=True)

@@ -26,6 +26,22 @@ def _free_port():
     return port
 
 
+def _spawn_two_process(stage):
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    return [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i), stage],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(worker))),
+        )
+        for i in range(2)
+    ]
+
+
 @pytest.mark.slow
 def test_two_process_loss_matches_single_process(tmp_path):
     # --- single-process ground truth on the full global batch ---
@@ -36,20 +52,7 @@ def test_two_process_loss_matches_single_process(tmp_path):
     _, metrics = step(state, batch, jax.random.PRNGKey(1))
     expected = float(metrics["total_loss"])
 
-    # --- 2-process run ---
-    coord = f"localhost:{_free_port()}"
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    env.pop("JAX_COORDINATOR_ADDRESS", None)
-    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(worker))),
-        )
-        for i in range(2)
-    ]
+    procs = _spawn_two_process("t2v")
     outs = []
     for p in procs:
         out, err = p.communicate(timeout=900)
@@ -67,3 +70,31 @@ def test_two_process_loss_matches_single_process(tmp_path):
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
     # and it matches the single-process run on the same global batch
     assert losses[0] == pytest.approx(expected, rel=2e-4, abs=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_gan_loss_matches_single_process(tmp_path):
+    """Same mechanism for the Vec2Wav GAN step (dual optimizers, in-graph
+    mel, spectral-norm state): 2-process global gen loss == single-process."""
+    from tests.test_train_steps import _tiny_v2w_cfg, _v2w_synth_batch
+    from wavthruvec_pytorch_tpu.train import vec2wav_train as v2w
+
+    cfg = _tiny_v2w_cfg()
+    batch = _v2w_synth_batch(cfg, B=4, seed=0)
+    models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = v2w.make_train_step(models, cfg)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    expected = float(metrics["gen_loss_total"])
+
+    procs = _spawn_two_process("v2w")
+    losses = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_LOSS"):
+                _, pid, val = line.split(" ", 2)
+                losses[int(pid)] = float(eval(val))
+    assert set(losses) == {0, 1}
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    assert losses[0] == pytest.approx(expected, rel=5e-4, abs=5e-4)
