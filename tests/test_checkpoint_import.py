@@ -174,3 +174,16 @@ def test_import_text2vec_covers_full_tree():
         *batch[:6], attn_prior=batch[6], deterministic=True, train_bn=False,
     )
     assert np.isfinite(np.asarray(out["feat_postnet_output"])).all()
+
+
+def test_scan_checkpoint_numeric_order(tmp_path):
+    """scan must sort by step number — the reference zero-pads (lexical ==
+    numeric there) but t2v checkpoints ('checkpoint_1200') do not."""
+    import os
+
+    from wavthruvec_pytorch_tpu.checkpoint import scan_checkpoint
+
+    for n in ("checkpoint_600", "checkpoint_1200", "checkpoint_80"):
+        os.makedirs(tmp_path / n)
+    assert scan_checkpoint(str(tmp_path), "checkpoint_").endswith("checkpoint_1200")
+    assert scan_checkpoint(str(tmp_path), "nope_") is None

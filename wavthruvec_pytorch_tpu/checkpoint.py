@@ -57,9 +57,13 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
 def scan_checkpoint(cp_dir: str, prefix: str) -> Optional[str]:
     """Latest checkpoint dir matching ``prefix`` (reference:
-    vec2wav/utils.py:53-58 scans ``prefix + '????????'``)."""
+    vec2wav/utils.py:53-58 scans ``prefix + '????????'``).
+
+    Sorted by STEP NUMBER, not lexically — the reference zero-pads its
+    names so lexical order coincides, but t2v checkpoints
+    (``checkpoint_1200``) do not."""
     pattern = os.path.join(cp_dir, prefix + "*")
-    paths = sorted(glob.glob(pattern))
+    paths = sorted(glob.glob(pattern), key=checkpoint_step)
     return paths[-1] if paths else None
 
 

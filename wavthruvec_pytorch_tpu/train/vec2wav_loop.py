@@ -170,6 +170,12 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
                 validate(models, cfg, state, validset, logger, steps)
             steps += 1
             if args.max_steps and steps >= args.max_steps:
+                # final checkpoint on bounded runs (save_step may not divide)
+                if (steps - 1) % cfg.save_step != 0:
+                    path = os.path.join(
+                        cfg.checkpoint_path, "state_{:08d}".format(steps)
+                    )
+                    ckpt.save_checkpoint(path, jax.device_get(state))
                 logger.flush()
                 return state
         print("Time taken for epoch {} is {} sec\n".format(
