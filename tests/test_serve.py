@@ -66,11 +66,12 @@ def test_serve_loop_end_to_end(tmp_path):
     stdout = io.StringIO()
     n = serve_loop(
         synth, store, str(tmp_path / "out"), alpha=4.0, max_frames=32,
-        stdin=stdin, stdout=stdout,
+        stdin=stdin, stdout=stdout, do_warmup=True,
     )
     lines = stdout.getvalue().strip().splitlines()
     assert n == 3
-    assert [l.split()[0] for l in lines] == ["OK", "OK", "ERR", "OK"]
+    assert lines[0].startswith("WARM")  # bucket pre-compile before serving
+    assert [l.split()[0] for l in lines[1:]] == ["OK", "OK", "ERR", "OK"]
     wavs = sorted(os.listdir(tmp_path / "out"))
     assert wavs == ["utt_000000.wav", "utt_000001.wav", "utt_000002.wav"]
     # t2v speaker embedding cached per speaker (2 distinct speakers used)

@@ -75,6 +75,8 @@ def _serve(rest):
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--speaker", default=None, help="default speaker id")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile all text buckets before serving")
     a = p.parse_args(rest)
 
     import jax
@@ -120,7 +122,7 @@ def _serve(rest):
     store = SpeakerStore(synth, a.spk_emb_dir, a.ref_feat_dir)
     n = serve_loop(
         synth, store, a.out_dir, default_speaker=a.speaker, alpha=a.alpha,
-        max_frames=a.max_frames or None,
+        max_frames=a.max_frames or None, do_warmup=a.warmup,
     )
     print(f"served {n} requests")
     return 0

@@ -75,6 +75,26 @@ class SpeakerStore:
         return self._t2v[spk]
 
 
+def warmup(synth, max_frames: Optional[int] = None, alpha: float = 1.0):
+    """Pre-compile the synthesis programs for every configured text bucket
+    so the first real request runs at serving latency (compiles are cached
+    per shape)."""
+    cfg = synth.t2v_cfg
+    mf = max_frames or cfg.frame_buckets[-1]
+    emb = np.zeros((1, cfg.n_speaker_dim), np.float32)
+    spk = np.zeros((1, synth.v2w_cfg.spk_dim), np.float32)
+    done = []
+    for nb in cfg.text_buckets:
+        # one dummy text padded to this bucket (frontend pads via pad_to)
+        text = " " * max(1, nb - 2)
+        out = synth.text_to_latents(
+            [text], None, alpha=alpha, max_frames=mf, t2v_spk_emb=emb
+        )
+        synth.latents_to_wav(out["feat_postnet_output"], spk)
+        done.append(nb)
+    return done
+
+
 def serve_loop(
     synth,
     store: SpeakerStore,
@@ -84,11 +104,15 @@ def serve_loop(
     max_frames: Optional[int] = None,
     stdin=None,
     stdout=None,
+    do_warmup: bool = False,
 ):
     from wavthruvec_pytorch_tpu.infer.synthesize import write_wav
 
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
+    if do_warmup:
+        buckets = warmup(synth, max_frames=max_frames, alpha=alpha)
+        print(f"WARM {buckets}", file=stdout, flush=True)
     os.makedirs(out_dir, exist_ok=True)
     default_speaker = default_speaker or (store.speakers() or [None])[0]
     n = 0
