@@ -297,3 +297,23 @@ def test_generator_folded_weight_norm_matches():
     folded_vars["params"] = fold_weight_norm(variables["params"])
     y_folded = gen_folded.apply(folded_vars, x, spk, noise, train=False)
     np.testing.assert_allclose(np.asarray(y_folded), np.asarray(y_ref), atol=1e-5)
+
+
+def test_flash_attention_flag_cpu_fallback(t2v_setup):
+    """flash_attention=True wires through the FFT stacks; on CPU (or for
+    non-conforming shapes) the dense path runs, so outputs are identical.
+    On-chip numerical equivalence is checked by tools/flash_check.py."""
+    import dataclasses
+
+    cfg, model, variables, batch = t2v_setup
+    src_seq, src_pos, wav_feat, *_ = batch
+    cfg_f = dataclasses.replace(cfg, flash_attention=True)
+    model_f = Text2Vec(cfg_f)
+    out = model.apply(variables, src_seq, src_pos, wav_feat, 48, 1.0,
+                      method=Text2Vec.infer)
+    out_f = model_f.apply(variables, src_seq, src_pos, wav_feat, 48, 1.0,
+                          method=Text2Vec.infer)
+    np.testing.assert_array_equal(
+        np.asarray(out["feat_postnet_output"]),
+        np.asarray(out_f["feat_postnet_output"]),
+    )

@@ -98,6 +98,10 @@ class Text2VecConfig:
     # --- TPU-native additions (no reference equivalent) ---
     # compute dtype for matmuls/convs; params stay float32.
     compute_dtype: str = "float32"
+    # blockwise (flash) self-attention for frame buckets that are multiples
+    # of 128 and >= 256 — O(T) memory instead of the T^2 score matrix; see
+    # models/fft_block.py for the (documented) attn-dropout deviation
+    flash_attention: bool = False
     # rematerialize FFT blocks in the backward pass (trades FLOPs for HBM on
     # long frame buckets)
     remat: bool = False

@@ -34,7 +34,7 @@ def _timeit(run_once, iters=10):
     return float(np.median(ts[2:]))
 
 
-def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False):
+def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False):
     import dataclasses
 
     import jax
@@ -44,7 +44,8 @@ def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False):
     from wavthruvec_pytorch_tpu.train import text2vec_train as t2v
 
     cfg = dataclasses.replace(
-        Text2VecConfig(), compute_dtype=dtype, remat=remat
+        Text2VecConfig(), compute_dtype=dtype, remat=remat,
+        flash_attention=flash,
     )
     rng = np.random.default_rng(0)
     items = []
@@ -77,7 +78,7 @@ def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False):
     return {
         "stage": "text2vec_train_step",
         "batch": B, "text_pad": N, "frame_pad": T,
-        "dtype": dtype, "remat": remat,
+        "dtype": dtype, "remat": remat, "flash": flash,
         "sec_per_step": round(dt, 4),
         "steps_per_sec": round(1.0 / dt, 3),
     }

@@ -47,6 +47,7 @@ class MultiHeadAttention(nn.Module):
     d_k: int
     d_v: int
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -73,16 +74,60 @@ class MultiHeadAttention(nn.Module):
         k = proj("w_ks", self.d_k)
         v = proj("w_vs", self.d_v)
 
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(self.d_k)
-        if mask is not None:
-            scores = jnp.where(mask[:, None, :, :], _MASK_VALUE, scores)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32
-        ).reshape(B, T, self.n_head * self.d_v)
+        # Flash (blockwise, O(T) memory) path for long frame buckets: the
+        # Pallas TPU kernel streams K/V tiles so the T x T score matrix is
+        # never materialized.  Semantics vs the dense path: identical masked
+        # softmax via segment ids (pads segment 0, real tokens 1 — pad-query
+        # rows differ but are zeroed by the FFT block's non-pad mask, like
+        # the reference's post-sublayer masking); attention-prob dropout is
+        # NOT applied inside the kernel (output-proj dropout still is) — an
+        # intentional deviation only when flash_attention=True (default off).
+        if (
+            self.use_flash
+            and self.d_v == self.d_k
+            and T % 128 == 0
+            and T >= 256
+            and jax.devices()[0].platform == "tpu"
+        ):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            if mask is not None:
+                seg = (~mask[:, 0, :]).astype(jnp.int32)  # 1 real, 0 pad
+            else:
+                seg = jnp.ones((B, T), jnp.int32)
+            # kernel wants head_dim <= 128 or a multiple of 128; zero-pad is
+            # exact (padded q.k terms are 0; padded v dims slice away)
+            d_pad = 0 if self.d_k <= 128 else (-self.d_k) % 128
+
+            def hpad(x):
+                x = x.transpose(0, 2, 1, 3).astype(jnp.float32)
+                if d_pad:
+                    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
+                return x
+
+            out = flash_attention(
+                hpad(q), hpad(k), hpad(v),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=1.0 / math.sqrt(self.d_k),
+            )[..., : self.d_v]
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * self.d_v)
+            attn = jnp.zeros((B, self.n_head, 0, 0), jnp.float32)  # not materialized
+        else:
+            out, attn = None, None
+        if out is None:
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(self.d_k)
+            if mask is not None:
+                scores = jnp.where(mask[:, None, :, :], _MASK_VALUE, scores)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32
+            ).reshape(B, T, self.n_head * self.d_v)
 
         out = nn.Dense(
             self.d_model,
@@ -135,6 +180,7 @@ class FFTBlock(nn.Module):
     fft_conv1d_kernel: Tuple[int, int] = (9, 1)
     fft_conv1d_padding: Tuple[int, int] = (4, 0)
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -151,6 +197,7 @@ class FFTBlock(nn.Module):
             self.d_k,
             self.d_v,
             dropout=self.dropout,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             name="slf_attn",
         )(x, mask=slf_attn_mask, deterministic=deterministic)

@@ -97,6 +97,7 @@ class Encoder(nn.Module):
                 fft_conv1d_kernel=cfg.fft_conv1d_kernel,
                 fft_conv1d_padding=cfg.fft_conv1d_padding,
                 dropout=cfg.dropout,
+                use_flash=cfg.flash_attention,
                 dtype=self.dtype,
                 name=f"layer_stack_{i}",
             )(enc_output, non_pad_mask, slf_attn_mask, deterministic)
@@ -137,6 +138,7 @@ class Decoder(nn.Module):
                 fft_conv1d_kernel=cfg.fft_conv1d_kernel,
                 fft_conv1d_padding=cfg.fft_conv1d_padding,
                 dropout=cfg.dropout,
+                use_flash=cfg.flash_attention,
                 dtype=self.dtype,
                 name=f"layer_stack_{i}",
             )(dec_output, non_pad_mask, slf_attn_mask, deterministic)
