@@ -84,7 +84,10 @@ def make_demo_data(
         for u in range(n_utts):
             n_txt = int(rng.integers(4, max(5, frames[1] // 5)))
             text = "".join(rng.choice(chars, size=n_txt))
-            durs = rng.integers(3, 8, size=n_txt)
+            # deterministic per-char durations: duration is a property of
+            # the char (like phoneme length), so the duration predictor has
+            # a learnable target that generalizes to novel sequences
+            durs = np.array([3 + char_index[c] % 5 for c in text])
             T = int(durs.sum())
             idx = np.repeat([char_index[c] for c in text], durs)
             feat = templates[idx] + 0.05 * rng.standard_normal(
