@@ -68,7 +68,7 @@ def main():
             text_buckets=(32,),
             frame_buckets=(64,),
             log_step=200,
-            save_step=a.t2v_steps,
+            save_step=10**9,  # curves only; checkpoints are GBs
             val_step=max(100, a.t2v_steps // 8),
         )
         args = text2vec_loop.parse_args(
@@ -93,7 +93,7 @@ def main():
             segment_size=2560,    # 8 latent frames x 320 (short demo utts)
             batch_size=16,
             log_step=100,
-            save_step=a.v2w_steps,
+            save_step=10**9,
             val_step=10**9,
         )
         args = vec2wav_loop.parse_args(
