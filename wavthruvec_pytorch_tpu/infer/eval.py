@@ -98,9 +98,12 @@ def main(args: Optional[argparse.Namespace] = None):
     if args is None:
         args = parse_args()
     cfg = Text2VecConfig()
-    if os.path.exists(cfg.vocab_path):
-        cfg = cfg.with_vocab_from_file(cfg.vocab_path)
-    frontend = TextFrontend.from_vocab_file(cfg.vocab_path)
+    vocab = args.vocab_path or cfg.vocab_path
+    if not os.path.exists(vocab) and os.path.exists("./data/demo/vocab.txt"):
+        vocab = "./data/demo/vocab.txt"  # bundled demo vocab fallback
+        print(f"vocab fallback: {vocab}")
+    cfg = cfg.with_vocab_from_file(vocab)
+    frontend = TextFrontend.from_vocab_file(vocab)
     model, variables = load_model(cfg, args.checkpoint_path, args.step)
 
     out_dir = os.path.join("results", str(args.log_seed))
@@ -148,6 +151,7 @@ def parse_args(argv=None):
                         default="/data_mnt/aishell3/w2v_feat/")
     parser.add_argument("--ref_npys", nargs="*", default=[])
     parser.add_argument("--n_sentences", type=int, default=6)
+    parser.add_argument("--vocab_path", type=str, default="")
     parser.add_argument("--rtf", action="store_true")
     parser.add_argument("--rtf_iters", type=int, default=20)
     return parser.parse_args(argv)
