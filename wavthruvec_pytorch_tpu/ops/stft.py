@@ -152,13 +152,34 @@ def stft_magnitude(
         pad = n_fft // 2
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     kernel = _dft_kernel_jnp(n_fft, win_size)
-    spec = lax.conv_general_dilated(
-        y[:, None, :].astype(jnp.float32),
-        kernel,
-        window_strides=(hop_size,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # [B, 2*F, frames]
+    if n_fft % hop_size == 0:
+        # Framing as pure slicing + one MXU matmul.  The strided-conv form
+        # is fine forward, but its VJP (a transposed conv with a
+        # 2F x n_fft kernel) costs ~400 ms at vocoder shapes — and this op
+        # sits inside the GAN step under grad.  Slices differentiate to
+        # pad-and-add, and the DFT matmul's VJP is another matmul.
+        B, Lp = y.shape
+        n_frames = (Lp - n_fft) // hop_size + 1
+        ratio = n_fft // hop_size
+        parts = [
+            y[:, k * hop_size : (k + n_frames) * hop_size].reshape(
+                B, n_frames, hop_size
+            )
+            for k in range(ratio)
+        ]
+        frames = jnp.concatenate(parts, axis=-1)  # [B, frames, n_fft]
+        spec = jnp.einsum(
+            "btn,fn->bft", frames.astype(jnp.float32), kernel[:, 0, :],
+            preferred_element_type=jnp.float32,
+        )  # [B, 2F, frames]
+    else:
+        spec = lax.conv_general_dilated(
+            y[:, None, :].astype(jnp.float32),
+            kernel,
+            window_strides=(hop_size,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )  # [B, 2*F, frames]
     n_freq = n_fft // 2 + 1
     real, imag = spec[:, :n_freq], spec[:, n_freq:]
     return jnp.sqrt(real * real + imag * imag + mag_eps)
