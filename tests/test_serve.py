@@ -76,3 +76,151 @@ def test_serve_loop_end_to_end(tmp_path):
     assert wavs == ["utt_000000.wav", "utt_000001.wav", "utt_000002.wav"]
     # t2v speaker embedding cached per speaker (2 distinct speakers used)
     assert set(store._t2v) == {"SSB0001", "SSB0002"}
+
+
+def _mk_speakers(tmp_path, synth, n=2):
+    rng = np.random.default_rng(1)
+    spk_dir = tmp_path / "spk_emb"
+    ref_dir = tmp_path / "refs"
+    spk_dir.mkdir()
+    for i in range(n):
+        spk = f"SSB{i:04d}"
+        np.save(spk_dir / f"{spk}.npy", rng.standard_normal(16).astype(np.float32))
+        (ref_dir / spk).mkdir(parents=True)
+        np.save(ref_dir / spk / "clip.npy",
+                rng.standard_normal((1, 20, 24)).astype(np.float32))
+    return SpeakerStore(synth, str(spk_dir), str(ref_dir))
+
+
+def test_serve_coalescing_batches_queued_requests(tmp_path):
+    """Queued requests are synthesized as one batched call, responses keep
+    request order, and outputs equal the unbatched ones (masked padding)."""
+    synth = _make_synth()
+    store = _mk_speakers(tmp_path, synth)
+
+    calls = []
+    orig = synth.text_to_latents
+
+    def counting(texts, *args, **kwargs):
+        calls.append(len(texts))
+        return orig(texts, *args, **kwargs)
+
+    synth.text_to_latents = counting
+
+    stdin = io.StringIO(
+        "SSB0000|abc def\n"
+        "SSB0001|gfe abc\n"
+        "SSB0000|abc\n"
+        "QUIT\n"
+    )
+    stdout = io.StringIO()
+    n = serve_loop(
+        synth, store, str(tmp_path / "out"), alpha=4.0, max_frames=32,
+        stdin=stdin, stdout=stdout, max_batch=8,
+    )
+    assert n == 3
+    # StringIO queues everything up-front -> all three coalesce into one call
+    assert calls == [3]
+    lines = stdout.getvalue().strip().splitlines()
+    assert [l.split()[0] for l in lines] == ["OK", "OK", "OK"]
+    assert all("batched=3" in l for l in lines)
+
+    # batched output == unbatched output for the same request
+    synth.text_to_latents = orig
+    stdin2 = io.StringIO("SSB0001|gfe abc\nQUIT\n")
+    out2 = io.StringIO()
+    serve_loop(synth, store, str(tmp_path / "out2"), alpha=4.0, max_frames=32,
+               stdin=stdin2, stdout=out2, max_batch=1)
+    from scipy.io import wavfile
+
+    _, a = wavfile.read(tmp_path / "out" / "utt_000001.wav")
+    _, b = wavfile.read(tmp_path / "out2" / "utt_000000.wav")
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def _parse_pcm(buf: bytes):
+    """Parse the PCM framing -> list of (header, np.int16 samples)."""
+    out = []
+    i = 0
+    while i < len(buf):
+        j = buf.index(b"\n", i)
+        line = buf[i:j].decode()
+        i = j + 1
+        if line.startswith("PCM "):
+            _, n_samp, sr, *rest = line.split()
+            n = int(n_samp)
+            data = np.frombuffer(buf[i:i + 2 * n], dtype="<i2")
+            i += 2 * n
+            end = buf.index(b"\n", i)
+            assert buf[i:end].decode() == "PCMEND"
+            i = end + 1
+            out.append((line, data))
+        elif line.startswith("PCMSTART"):
+            chunks = []
+            while True:
+                j = buf.index(b"\n", i)
+                sub = buf[i:j].decode()
+                i = j + 1
+                if sub.startswith("PCMCHUNK "):
+                    nb = int(sub.split()[1])
+                    chunks.append(np.frombuffer(buf[i:i + nb], dtype="<i2"))
+                    i += nb
+                elif sub.startswith("PCMEND "):
+                    n = int(sub.split()[1])
+                    data = np.concatenate(chunks) if chunks else np.zeros(0, "<i2")
+                    assert data.shape[0] == n
+                    out.append((sub, data))
+                    break
+                else:
+                    raise AssertionError(f"unexpected line {sub!r}")
+        else:
+            out.append((line, None))
+    return out
+
+
+def test_serve_pcm_mode(tmp_path):
+    """--pcm emits int16 PCM blocks equal to the wav-file output."""
+    synth = _make_synth()
+    store = _mk_speakers(tmp_path, synth)
+    stdin = io.StringIO("SSB0000|abc def\nSSB0001|gfe\nQUIT\n")
+    stdout = io.BytesIO()
+    n = serve_loop(synth, store, str(tmp_path / "out"), alpha=4.0,
+                   max_frames=32, stdin=stdin, stdout=stdout, pcm=True)
+    assert n == 2
+    blocks = _parse_pcm(stdout.getvalue())
+    pcm_blocks = [(h, d) for h, d in blocks if d is not None]
+    assert len(pcm_blocks) == 2
+    # equal to the wav-file path output for the same request
+    stdin2 = io.StringIO("SSB0000|abc def\nQUIT\n")
+    out2 = io.StringIO()
+    serve_loop(synth, store, str(tmp_path / "wav"), alpha=4.0, max_frames=32,
+               stdin=stdin2, stdout=out2)
+    from scipy.io import wavfile
+
+    _, wav = wavfile.read(tmp_path / "wav" / "utt_000000.wav")
+    ref = np.clip(wav, -1, 1) * 32767.0
+    np.testing.assert_allclose(pcm_blocks[0][1], ref.astype("<i2"), atol=1)
+
+
+def test_serve_pcm_streaming_chunks(tmp_path):
+    """--pcm --stream_chunk frames the audio into PCMCHUNKs that concatenate
+    to the full utterance (exact stitching via StreamingVocoder)."""
+    synth = _make_synth()
+    store = _mk_speakers(tmp_path, synth)
+    stdin = io.StringIO("SSB0000|abc def\nQUIT\n")
+    stdout = io.BytesIO()
+    n = serve_loop(synth, store, str(tmp_path / "out"), alpha=4.0,
+                   max_frames=32, stdin=stdin, stdout=stdout, pcm=True,
+                   stream_chunk=8)
+    assert n == 1
+    raw = stdout.getvalue()
+    assert raw.count(b"PCMCHUNK ") >= 2  # really chunked
+    blocks = _parse_pcm(raw)
+    header, data = [(h, d) for h, d in blocks if d is not None][0]
+    # non-streaming PCM block for the same request must match exactly
+    stdin2 = io.StringIO("SSB0000|abc def\nQUIT\n")
+    out2 = io.BytesIO()
+    serve_loop(synth, store, str(tmp_path / "out2"), alpha=4.0, max_frames=32,
+               stdin=stdin2, stdout=out2, pcm=True)
+    _, full = [(h, d) for h, d in _parse_pcm(out2.getvalue()) if d is not None][0]
+    np.testing.assert_allclose(data, full, atol=1)

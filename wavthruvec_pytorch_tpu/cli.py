@@ -14,10 +14,23 @@ prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
+def _honor_jax_platforms():
+    """Some environments force-register accelerator plugins regardless of
+    ``JAX_PLATFORMS``; apply the env var through jax.config so
+    ``JAX_PLATFORMS=cpu`` reliably pins the CLI to CPU."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
+    _honor_jax_platforms()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print(__doc__)
@@ -68,6 +81,10 @@ def _serve(rest):
     p.add_argument("--ref_feat_dir", default=None,
                    help="{spk}/*.npy wav2vec reference clips for t2v "
                    "conditioning (cached per speaker)")
+    p.add_argument("--t2v_config", default="",
+                   help="Text2VecConfig JSON (e.g. data/demo/text2vec_tiny.json)")
+    p.add_argument("--v2w_config", default="",
+                   help="Vec2WavConfig JSON (e.g. data/demo/vec2wav_tiny.json)")
     p.add_argument("--t2v_checkpoint", default=None)
     p.add_argument("--gen_checkpoint", default=None)
     p.add_argument("--vocab_path", default="./data/vocab.txt")
@@ -77,14 +94,28 @@ def _serve(rest):
     p.add_argument("--speaker", default=None, help="default speaker id")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile all text buckets before serving")
+    p.add_argument("--max_batch", type=int, default=1,
+                   help="coalesce up to N queued requests into one batched "
+                   "synthesis call (responses keep request order)")
+    p.add_argument("--pcm", action="store_true",
+                   help="write raw int16 PCM to stdout (framed by control "
+                   "lines) instead of wav files")
+    p.add_argument("--stream_chunk", type=int, default=0,
+                   help="with --pcm: emit audio in chunks of N latent frames "
+                   "while later chunks compute (StreamingVocoder)")
     a = p.parse_args(rest)
 
     import jax
     import jax.numpy as jnp
 
-    t2v_cfg = Text2VecConfig().with_vocab_from_file(a.vocab_path)
-    v2w_cfg = Vec2WavConfig()
-    frontend = TextFrontend.from_vocab_file(a.vocab_path)
+    from wavthruvec_pytorch_tpu.config import load_config
+
+    t2v_cfg = (load_config(Text2VecConfig, a.t2v_config) if a.t2v_config
+               else Text2VecConfig().with_vocab_from_file(a.vocab_path))
+    v2w_cfg = (load_config(Vec2WavConfig, a.v2w_config) if a.v2w_config
+               else Vec2WavConfig())
+    frontend = TextFrontend.from_vocab_file(
+        a.t2v_config and t2v_cfg.vocab_path or a.vocab_path)
     t2v = Text2Vec(t2v_cfg)
     gen = Generator(v2w_cfg)
     rng = jax.random.PRNGKey(0)
@@ -123,8 +154,10 @@ def _serve(rest):
     n = serve_loop(
         synth, store, a.out_dir, default_speaker=a.speaker, alpha=a.alpha,
         max_frames=a.max_frames or None, do_warmup=a.warmup,
+        max_batch=a.max_batch, pcm=a.pcm,
+        stream_chunk=a.stream_chunk or None,
     )
-    print(f"served {n} requests")
+    print(f"served {n} requests", file=sys.stderr if a.pcm else sys.stdout)
     return 0
 
 

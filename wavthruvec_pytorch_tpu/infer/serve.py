@@ -17,16 +17,74 @@ ECAPA.  Output wavs land in ``--out_dir`` with the response line
 Latency behavior: jit programs are cached per (text-bucket, frame-bucket)
 shape, so the first request of each shape pays the compile and steady-state
 requests run at serving latency (reported per request in the OK line).
+
+Two production additions beyond the basic loop:
+
+* **Request coalescing** (``max_batch > 1``): requests that are already
+  queued on stdin when the server becomes free are synthesized as ONE
+  batched call (mixed speakers and text lengths are fine — per-item
+  embeddings are stacked and padding is masked).  serve_bench shows batch
+  32 reaches ~208 utt/s vs 192 at batch 1, and coalescing amortizes
+  dispatch under bursty load without adding latency when idle (a request
+  arriving alone still runs immediately).  Responses keep request order.
+* **PCM-over-stdout** (``pcm=True``): instead of writing wav files, raw
+  int16 little-endian PCM is written to the (binary) output stream framed
+  by text control lines — with ``stream_chunk`` set, audio of each
+  utterance is emitted in chunks while later chunks are still being
+  computed (StreamingVocoder, exact stitching), for true streaming
+  playback through a pipe:
+
+      PCMSTART <sr>\\n
+      PCMCHUNK <n_bytes>\\n<bytes>...
+      PCMEND <n_samples> latency=<ms>\\n
 """
 
 from __future__ import annotations
 
 import os
+import queue
 import sys
+import threading
 import time
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
+
+
+class _LineSource:
+    """Blocking first-read / non-blocking drain over any line stream.
+
+    A daemon reader thread decouples the loop from the underlying stream so
+    coalescing works on pipes, sockets and StringIO alike (no select())."""
+
+    def __init__(self, stream):
+        self._q: "queue.Queue[Optional[str]]" = queue.Queue()
+        t = threading.Thread(target=self._read, args=(stream,), daemon=True)
+        t.start()
+
+    def _read(self, stream):
+        for line in stream:
+            self._q.put(line)
+        self._q.put(None)  # EOF sentinel
+
+    def take(self, max_n: int) -> List[str]:
+        """Block for one line, then drain whatever is already queued (up to
+        ``max_n`` total).  Returns [] at EOF."""
+        first = self._q.get()
+        if first is None:
+            self._q.put(None)
+            return []
+        lines = [first]
+        while len(lines) < max_n:
+            try:
+                nxt = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)
+                break
+            lines.append(nxt)
+        return lines
 
 
 class SpeakerStore:
@@ -74,6 +132,18 @@ class SpeakerStore:
                 ref.astype(np.float32))  # [1, n_speaker_dim]
         return self._t2v[spk]
 
+    def t2v_emb_or_fallback(self, spk: str) -> np.ndarray:
+        """Like :meth:`t2v_emb` but never None: speakers without a reference
+        clip get the embedding of a zero clip — numerically identical to the
+        zeros-ref path the per-request fallback used, computed once."""
+        emb = self.t2v_emb(spk)
+        if emb is not None:
+            return emb
+        if "\0fallback" not in self._t2v:
+            zeros = np.zeros((1, 1, self.synth.t2v_cfg.n_feat_dim), np.float32)
+            self._t2v["\0fallback"] = self.synth.speaker_embedding(zeros)
+        return self._t2v["\0fallback"]
+
 
 def warmup(synth, max_frames: Optional[int] = None, alpha: float = 1.0):
     """Pre-compile the synthesis programs for every configured text bucket
@@ -95,6 +165,33 @@ def warmup(synth, max_frames: Optional[int] = None, alpha: float = 1.0):
     return done
 
 
+def _serve_noise(synth, B: int) -> np.ndarray:
+    """Per-item vocoder noise for serving: every item gets the SAME seed-0
+    row, so a request's audio does not depend on its position in a coalesced
+    batch (batched == unbatched, deterministic across retries)."""
+    import jax
+
+    row = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(0), (1, synth.v2w_cfg.noise_dim)))
+    return np.tile(row, (B, 1))
+
+
+def _synthesize_batch(synth, store, reqs, alpha, max_frames):
+    """One batched synthesis over parsed (spk, text) requests.  Returns
+    ([B, L] wavs, [B] sample counts)."""
+    texts = [t for _, t in reqs]
+    t2v_embs = np.concatenate(
+        [store.t2v_emb_or_fallback(s) for s, _ in reqs], axis=0)
+    voc_embs = np.stack([store.vocoder_emb(s) for s, _ in reqs], axis=0)
+    out = synth.text_to_latents(
+        texts, None, alpha=alpha, max_frames=max_frames, t2v_spk_emb=t2v_embs)
+    wav = synth.latents_to_wav(
+        out["feat_postnet_output"], voc_embs,
+        noise=_serve_noise(synth, len(reqs)))
+    n_samples = out["total_frames"] * synth.v2w_cfg.total_upsample
+    return wav, n_samples
+
+
 def serve_loop(
     synth,
     store: SpeakerStore,
@@ -105,44 +202,148 @@ def serve_loop(
     stdin=None,
     stdout=None,
     do_warmup: bool = False,
+    max_batch: int = 1,
+    pcm: bool = False,
+    stream_chunk: Optional[int] = None,
 ):
     from wavthruvec_pytorch_tpu.infer.synthesize import write_wav
 
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
+    # PCM mode interleaves binary audio with text control lines on one
+    # binary stream; wav-file mode keeps plain text lines.
+    binout = getattr(stdout, "buffer", stdout) if pcm else None
+
+    def say(line: str):
+        if pcm:
+            binout.write((line + "\n").encode())
+            binout.flush()
+        else:
+            print(line, file=stdout, flush=True)
+
     if do_warmup:
         buckets = warmup(synth, max_frames=max_frames, alpha=alpha)
-        print(f"WARM {buckets}", file=stdout, flush=True)
-    os.makedirs(out_dir, exist_ok=True)
+        say(f"WARM {buckets}")
+    if not pcm:
+        os.makedirs(out_dir, exist_ok=True)
     default_speaker = default_speaker or (store.speakers() or [None])[0]
+    sv = None
+    if pcm and stream_chunk:
+        from wavthruvec_pytorch_tpu.infer.streaming import StreamingVocoder
+
+        sv = StreamingVocoder(
+            synth.gen, synth.gen_variables, synth.v2w_cfg,
+            chunk_frames=int(stream_chunk),
+        )
+
+    def respond(wav: np.ndarray, n_samp: int, n: int, dt_ms: float, b: int):
+        if pcm:
+            sr = synth.v2w_cfg.sampling_rate
+            data = np.clip(wav[:n_samp], -1, 1)
+            pcm16 = (data * 32767.0).astype("<i2").tobytes()
+            binout.write(f"PCM {n_samp} {sr} latency={dt_ms:.1f}ms batched={b}\n".encode())
+            binout.write(pcm16)
+            binout.write(b"PCMEND\n")
+            binout.flush()
+        else:
+            path = os.path.join(out_dir, f"utt_{n:06d}.wav")
+            write_wav(path, wav[:n_samp])
+            say(f"OK {path} {n_samp / 16000:.2f}s latency={dt_ms:.1f}ms batched={b}")
+
+    def respond_stream(latents, spk_emb, total_frames, dt0, b: int):
+        """Emit one utterance as PCM chunks (time-to-first-audio path).
+
+        Streams over the full PADDED latent buffer and trims emitted samples
+        to the true length — zero-padded latents are not equivalent to a
+        sequence edge (streaming.py docstring), and the non-streaming path
+        also vocodes the padded buffer then trims, so this matches it
+        exactly."""
+        sr = synth.v2w_cfg.sampling_rate
+        up = synth.v2w_cfg.total_upsample
+        target = int(total_frames) * up
+        binout.write(f"PCMSTART {sr} batched={b}\n".encode())
+        binout.flush()
+        n_samp = 0
+        for chunk in sv.stream(latents[None], spk_emb[None],
+                               _serve_noise(synth, 1)):
+            data = np.clip(chunk[0][: max(0, target - n_samp)], -1, 1)
+            if data.shape[0]:
+                pcm16 = (data * 32767.0).astype("<i2").tobytes()
+                binout.write(f"PCMCHUNK {len(pcm16)}\n".encode())
+                binout.write(pcm16)
+                binout.flush()
+                n_samp += data.shape[0]
+            if n_samp >= target:
+                break
+        dt_ms = (time.perf_counter() - dt0) * 1e3
+        assert n_samp == target
+        binout.write(f"PCMEND {n_samp} latency={dt_ms:.1f}ms\n".encode())
+        binout.flush()
+
+    src = _LineSource(stdin)
     n = 0
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
-        if line == "QUIT":
+    while True:
+        lines = src.take(max(1, max_batch))
+        if not lines:
             break
-        try:
+        saw_quit = False
+        reqs = []  # (index-in-responses, spk, text) for valid requests
+        responses: List[Optional[str]] = []
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            if line == "QUIT":
+                saw_quit = True
+                break
             spk, text = line.split("|", 1) if "|" in line else (default_speaker, line)
             if spk is None:
-                raise ValueError("no speaker available")
+                responses.append("ERR no speaker available")
+                continue
+            try:
+                store.vocoder_emb(spk)  # validate speaker before batching
+            except Exception as e:
+                responses.append(f"ERR {e}")
+                continue
+            reqs.append((len(responses), spk, text))
+            responses.append(None)
+
+        if reqs:
             t0 = time.perf_counter()
-            t2v_emb = store.t2v_emb(spk)
-            wavs, n_samples = synth.synthesize(
-                [text],
-                None if t2v_emb is not None else np.zeros(
-                    (1, 1, synth.t2v_cfg.n_feat_dim), np.float32),
-                store.vocoder_emb(spk)[None],
-                alpha=alpha,
-                max_frames=max_frames,
-                t2v_spk_emb=t2v_emb if t2v_emb is not None else None,
-            )
-            path = os.path.join(out_dir, f"utt_{n:06d}.wav")
-            write_wav(path, wavs[0][: int(n_samples[0])])
-            dt = time.perf_counter() - t0
-            print(f"OK {path} {int(n_samples[0]) / 16000:.2f}s "
-                  f"latency={dt * 1e3:.1f}ms", file=stdout, flush=True)
-            n += 1
-        except Exception as e:  # keep serving
-            print(f"ERR {e}", file=stdout, flush=True)
+            try:
+                if sv is not None:
+                    # streaming: latents batched, audio chunked per item
+                    out = synth.text_to_latents(
+                        [t for _, _, t in reqs], None, alpha=alpha,
+                        max_frames=max_frames,
+                        t2v_spk_emb=np.concatenate(
+                            [store.t2v_emb_or_fallback(s) for _, s, _ in reqs],
+                            axis=0),
+                    )
+                    for j, (slot, spk, _) in enumerate(reqs):
+                        respond_stream(
+                            out["feat_postnet_output"][j],
+                            store.vocoder_emb(spk),
+                            out["total_frames"][j], t0, len(reqs))
+                        responses[slot] = ""  # already written
+                        n += 1
+                else:
+                    wavs, n_samples = _synthesize_batch(
+                        synth, store, [(s, t) for _, s, t in reqs],
+                        alpha, max_frames)
+                    dt_ms = (time.perf_counter() - t0) * 1e3
+                    for j, (slot, _, _) in enumerate(reqs):
+                        respond(wavs[j], int(n_samples[j]), n, dt_ms, len(reqs))
+                        responses[slot] = ""
+                        n += 1
+            except Exception as e:  # keep serving
+                for slot, _, _ in reqs:
+                    if responses[slot] is None:
+                        responses[slot] = f"ERR {e}"
+
+        for r in responses:
+            if r:  # ERR lines (successes already wrote their output)
+                say(r)
+        if saw_quit:
+            break
     return n
