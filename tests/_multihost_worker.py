@@ -1,13 +1,18 @@
-"""Worker for the 2-process jax.distributed data-parallel test.
+"""Worker for the N-process jax.distributed data-parallel tests.
 
 Usage (spawned by tests/test_multihost.py):
-    python tests/_multihost_worker.py <coordinator> <num_procs> <proc_id>
+    python tests/_multihost_worker.py <coordinator> <num_procs> <proc_id> \
+        [stage] [n_steps] [ckpt_dir]
 
-Each process owns 1 CPU device and the CONTIGUOUS half of a deterministic
-global batch (matching NamedSharding's device-order layout), builds the
-global batch with ``shard_batch`` (make_array_from_process_local_data),
-replicates the state via host_local_array_to_global_array, runs ONE jitted
-Text2Vec train step over the 2-device mesh, and prints the global loss.
+Each process owns 1 CPU device and its CONTIGUOUS 1/N slice of a
+deterministic global batch (matching NamedSharding's device-order layout),
+builds the global batch with ``shard_batch``
+(make_array_from_process_local_data), replicates the state via
+host_local_array_to_global_array, runs ``n_steps`` jitted train steps over
+the N-device mesh, and prints the global loss per step.  With ``ckpt_dir``
+it additionally exercises the multi-host checkpoint path: collective orbax
+save after the steps, restore into a FRESH state, one more step from the
+restored state, and prints that loss as MULTIHOST_RESUME.
 """
 
 import os
@@ -15,6 +20,8 @@ import sys
 
 coordinator, num_procs, proc_id = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 stage = sys.argv[4] if len(sys.argv) > 4 else "t2v"
+n_steps = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else ""
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -79,6 +86,32 @@ sharded = shard_batch(local, mesh)
 for k, v in sharded.items():
     assert v.shape[0] == GLOBAL_B, (k, v.shape)  # logically global
 
-state, metrics = step(state, sharded, jax.random.PRNGKey(1))
-loss = float(metrics[loss_key])
-print(f"MULTIHOST_LOSS {proc_id} {loss!r}", flush=True)
+for i in range(n_steps):
+    state, metrics = step(state, sharded, jax.random.PRNGKey(1 + i))
+    loss = float(metrics[loss_key])
+    print(f"MULTIHOST_LOSS {proc_id} {i} {loss!r}", flush=True)
+
+if ckpt_dir:
+    # collective orbax save of the sharded/replicated global state, then the
+    # multi-host resume path: restore into a FRESH init and take one more
+    # step.  The same continuation step is also taken from the LIVE state
+    # (before it gets donated) so the test can assert restore-exactness
+    # without conflating it with the fp drift an N-device mesh accumulates
+    # vs the single-process oracle over several optimizer steps.
+    from wavthruvec_pytorch_tpu import checkpoint as ckpt
+
+    path = os.path.join(ckpt_dir, "state_mh")
+    ckpt.save_checkpoint(path, state)
+    multihost_utils.sync_global_devices("after_save")
+
+    _, metrics = step(state, sharded, jax.random.PRNGKey(1 + n_steps))
+    print(f"MULTIHOST_CONT {proc_id} {float(metrics[loss_key])!r}", flush=True)
+
+    _, fresh = init_state(
+        cfg, jax.random.PRNGKey(7), {k: jnp.asarray(v) for k, v in local.items()}
+    )
+    fresh = multihost_utils.host_local_array_to_global_array(fresh, mesh, P())
+    restored = ckpt.restore_checkpoint(path, fresh)
+    restored, metrics = step(restored, sharded, jax.random.PRNGKey(1 + n_steps))
+    loss = float(metrics[loss_key])
+    print(f"MULTIHOST_RESUME {proc_id} {loss!r}", flush=True)

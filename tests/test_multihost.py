@@ -26,20 +26,46 @@ def _free_port():
     return port
 
 
-def _spawn_two_process(stage):
+def _spawn_procs(stage, num_procs=2, n_steps=1, ckpt_dir=""):
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_COORDINATOR_ADDRESS", None)
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    argv_tail = [stage, str(n_steps)] + ([ckpt_dir] if ckpt_dir else [])
     return [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(i), stage],
+            [sys.executable, worker, coord, str(num_procs), str(i)] + argv_tail,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(worker))),
         )
-        for i in range(2)
+        for i in range(num_procs)
     ]
+
+
+def _collect(procs, tag="MULTIHOST_LOSS", timeout=900):
+    """-> {proc_id: [loss per step]} for MULTIHOST_LOSS, {proc_id: loss} for
+    single-value tags; asserts all workers exit 0."""
+    per_proc = {}
+    resume = {}
+    cont = {}
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_LOSS"):
+                _, pid, step_i, val = line.split(" ", 3)
+                per_proc.setdefault(int(pid), {})[int(step_i)] = float(eval(val))
+            elif line.startswith("MULTIHOST_RESUME"):
+                _, pid, val = line.split(" ", 2)
+                resume[int(pid)] = float(eval(val))
+            elif line.startswith("MULTIHOST_CONT"):
+                _, pid, val = line.split(" ", 2)
+                cont[int(pid)] = float(eval(val))
+    losses = {
+        pid: [d[i] for i in sorted(d)] for pid, d in per_proc.items()
+    }
+    return losses, resume, cont
 
 
 @pytest.mark.slow
@@ -52,24 +78,13 @@ def test_two_process_loss_matches_single_process(tmp_path):
     _, metrics = step(state, batch, jax.random.PRNGKey(1))
     expected = float(metrics["total_loss"])
 
-    procs = _spawn_two_process("t2v")
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(out)
-
-    losses = {}
-    for out in outs:
-        for line in out.splitlines():
-            if line.startswith("MULTIHOST_LOSS"):
-                _, pid, val = line.split(" ", 2)
-                losses[int(pid)] = float(eval(val))
-    assert set(losses) == {0, 1}, outs
+    procs = _spawn_procs("t2v")
+    losses, _, _ = _collect(procs)
+    assert set(losses) == {0, 1}
     # both hosts see the same replicated global loss
-    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    assert losses[0][0] == pytest.approx(losses[1][0], rel=1e-6)
     # and it matches the single-process run on the same global batch
-    assert losses[0] == pytest.approx(expected, rel=2e-4, abs=2e-4)
+    assert losses[0][0] == pytest.approx(expected, rel=2e-4, abs=2e-4)
 
 
 @pytest.mark.slow
@@ -86,15 +101,40 @@ def test_two_process_gan_loss_matches_single_process(tmp_path):
     _, metrics = step(state, batch, jax.random.PRNGKey(1))
     expected = float(metrics["gen_loss_total"])
 
-    procs = _spawn_two_process("v2w")
-    losses = {}
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        for line in out.splitlines():
-            if line.startswith("MULTIHOST_LOSS"):
-                _, pid, val = line.split(" ", 2)
-                losses[int(pid)] = float(eval(val))
+    procs = _spawn_procs("v2w")
+    losses, _, _ = _collect(procs)
     assert set(losses) == {0, 1}
-    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
-    assert losses[0] == pytest.approx(expected, rel=5e-4, abs=5e-4)
+    assert losses[0][0] == pytest.approx(losses[1][0], rel=1e-6)
+    assert losses[0][0] == pytest.approx(expected, rel=5e-4, abs=5e-4)
+
+
+@pytest.mark.slow
+def test_four_process_multistep_and_checkpoint_resume(tmp_path):
+    """Scale-up of the DDP-replacement test: 4 jax.distributed processes run
+    THREE steps (state donation across steps) that must match the
+    single-process oracle step-by-step, then collectively orbax-save the
+    sharded global state, restore it into a fresh init, and take one more
+    step — which must equal the workers' own UNINTERRUPTED continuation
+    step (checkpoint exactness, isolated from the small fp drift an
+    N-device mesh accumulates vs single-process over optimizer steps)."""
+    cfg = T2V_SMALL
+    batch = _t2v_synth_batch(cfg, B=4, seed=0)
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = t2v.make_train_step(model, cfg)
+    expected = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1 + i))
+        expected.append(float(metrics["total_loss"]))
+
+    procs = _spawn_procs("t2v", num_procs=4, n_steps=3,
+                         ckpt_dir=str(tmp_path))
+    losses, resume, cont = _collect(procs, timeout=1200)
+    assert set(losses) == {0, 1, 2, 3}
+    for pid in range(1, 4):  # replicated global loss identical across hosts
+        assert losses[pid] == pytest.approx(losses[0], rel=1e-6)
+    for i in range(3):  # and equal to single-process, step by step
+        assert losses[0][i] == pytest.approx(expected[i], rel=5e-4, abs=5e-4)
+    # resume-from-checkpoint == the uninterrupted continuation, exactly
+    assert set(resume) == set(cont) == {0, 1, 2, 3}
+    assert resume[0] == pytest.approx(cont[0], rel=1e-6)
+    assert resume[1] == pytest.approx(resume[0], rel=1e-6)
