@@ -691,13 +691,131 @@ class SpectralNormConv1d(nn.Module):
 # GRU (for CBHG) — torch-gate-math via lax.scan
 # ---------------------------------------------------------------------------
 
+_GRU_UNROLL = 8
+
+
+def _gru_gates(gi_t, gh):
+    """torch nn.GRU gate math from input/hidden projections ([B, 3H] each)."""
+    i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = nn.sigmoid(i_r + h_r)
+    z = nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return r, z, n, h_n
+
+
+@jax.custom_vjp
+def gru_stacked(xs, w_ih, w_hh, b_ih, b_hh):
+    """D independent GRU directions in ONE scan: [D, B, T, C] -> [D, B, T, H]
+    (torch gate math; weights [D, C|H, 3H], biases [D, 3H]).
+
+    Two performance properties, both measured at CBHG shapes
+    (tools/cbhg_profile.py, B16 T1024 H1024):
+
+    * custom VJP: autodiff of the scan accumulates the ``w_hh`` gradient —
+      a rank-B outer product into a [H, 3H] accumulator — INSIDE the
+      backward loop.  Here the backward scan carries only [D, B, H] and
+      stacks the per-step gate gradients; every weight gradient is then one
+      large MXU einsum outside the loop.  Math is exactly the autodiff
+      backward, just reassociated.
+    * direction fusion: a [B, H] recurrence step is a tiny 16-row matmul —
+      latency-bound on the serial chain, not throughput-bound.  Running
+      both BiGRU directions in the same scan gives each step two
+      INDEPENDENT matmuls to pipeline.
+    """
+    ys, _, _ = _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh)
+    return ys
+
+
+def _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh):
+    D, B, T, C = xs.shape
+    H = w_hh.shape[1]
+    gi = jnp.einsum("dbtc,dch->dbth", xs, w_ih) + b_ih[:, None, None]
+
+    def step(h, gi_t):  # h [D, B, H], gi_t [D, B, 3H]
+        gh = jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh[:, None]
+        r, z, n, _ = _gru_gates(gi_t, gh)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((D, B, H), xs.dtype)
+    _, hs = lax.scan(step, h0, jnp.moveaxis(gi, 2, 0), unroll=_GRU_UNROLL)
+    ys = jnp.moveaxis(hs, 0, 2)  # [D, B, T, H]
+    # h_{t-1} sequence for the backward pass ([T, D, B, H])
+    hprev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    return ys, gi, hprev
+
+
+def _gru_stacked_fwd(xs, w_ih, w_hh, b_ih, b_hh):
+    ys, gi, hprev = _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh)
+    return ys, (xs, gi, hprev, w_ih, w_hh, b_hh)
+
+
+def _gru_stacked_bwd(res, dys):
+    xs, gi, hprev, w_ih, w_hh, b_hh = res
+    D, B, _, _ = xs.shape
+    H = w_hh.shape[1]
+    # pack the three per-step inputs into ONE array and emit ONE output per
+    # step: each scan input/output is a dynamic-slice/update in the loop
+    # body, and those per-step ops — not the matmuls — dominate the
+    # backward's step cost at these tiny [B, H] shapes.
+    packed = jnp.concatenate(
+        [jnp.moveaxis(dys, 2, 0), jnp.moveaxis(gi, 2, 0), hprev], axis=-1
+    )  # [T, D, B, H + 3H + H]
+
+    def bstep(dh, inp):
+        dy_t = inp[..., :H]
+        gi_t = inp[..., H:4 * H]
+        hp = inp[..., 4 * H:]
+        g = dy_t + dh  # total gradient on h_t
+        gh = jnp.einsum("dbh,dhg->dbg", hp, w_hh) + b_hh[:, None]  # recompute
+        r, z, n, h_n = _gru_gates(gi_t, gh)
+        dz = g * (hp - n)
+        dn_pre = g * (1.0 - z) * (1.0 - n * n)
+        dr = dn_pre * h_n
+        dhn = dn_pre * r
+        dz_pre = dz * z * (1.0 - z)
+        dr_pre = dr * r * (1.0 - r)
+        # dgi = [dr_pre, dz_pre, dn_pre]; dgh = [dr_pre, dz_pre, dhn] —
+        # emit the union [dr_pre, dz_pre, dn_pre, dhn] once (4H, not 6H)
+        out = jnp.concatenate([dr_pre, dz_pre, dn_pre, dhn], axis=-1)
+        dh_prev = g * z + jnp.einsum(
+            "dbg,dhg->dbh",
+            jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1), w_hh)
+        return dh_prev, out
+
+    dh_T = jnp.zeros((D, B, H), xs.dtype)
+    _, outs = lax.scan(bstep, dh_T, packed, reverse=True, unroll=_GRU_UNROLL)
+    dgi_seq = outs[..., :3 * H]  # [T, D, B, 3H]
+    dgh_seq = jnp.concatenate(
+        [outs[..., :2 * H], outs[..., 3 * H:]], axis=-1)
+    # weight grads as single large matmuls (the whole point of this VJP)
+    dw_hh = jnp.einsum("tdbh,tdbg->dhg", hprev, dgh_seq)
+    db_hh = jnp.sum(dgh_seq, axis=(0, 2))
+    dgi_bt = jnp.moveaxis(dgi_seq, 0, 2)  # [D, B, T, 3H]
+    dw_ih = jnp.einsum("dbtc,dbtg->dcg", xs, dgi_bt)
+    db_ih = jnp.sum(dgi_bt, axis=(1, 2))
+    dxs = jnp.einsum("dbtg,dcg->dbtc", dgi_bt, w_ih)
+    return dxs, dw_ih, dw_hh, db_ih, db_hh
+
+
+gru_stacked.defvjp(_gru_stacked_fwd, _gru_stacked_bwd)
+
+
+def gru_direction(xs, w_ih, w_hh, b_ih, b_hh):
+    """Single-direction convenience wrapper over :func:`gru_stacked`."""
+    return gru_stacked(xs[None], w_ih[None], w_hh[None],
+                       b_ih[None], b_hh[None])[0]
+
+
 class BiGRU(nn.Module):
     """Bidirectional single-layer GRU over [B, T, C] -> [B, T, 2*H].
 
     torch gate math (nn.GRU): r/z gates sigmoid, candidate uses
-    ``r * (W_hn h + b_hn)``; all params U(±1/sqrt(H)).  Runs as two
-    ``lax.scan``s (fwd + reversed) — the reference feeds the padded sequence
-    without packing (text2vec/module.py:356-358), so no length masking here.
+    ``r * (W_hn h + b_hn)``; all params U(±1/sqrt(H)).  Both directions run
+    in ONE ``lax.scan`` with a custom VJP (:func:`gru_stacked`) — the
+    reference feeds the padded sequence without packing
+    (text2vec/module.py:356-358), so no length masking here.
     """
 
     hidden: int
@@ -711,30 +829,17 @@ class BiGRU(nn.Module):
         def u_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        def direction(name: str, xs: jnp.ndarray) -> jnp.ndarray:
-            w_ih = self.param(f"{name}_w_ih", u_init, (C, 3 * self.hidden))
-            w_hh = self.param(f"{name}_w_hh", u_init, (self.hidden, 3 * self.hidden))
-            b_ih = self.param(f"{name}_b_ih", u_init, (3 * self.hidden,))
-            b_hh = self.param(f"{name}_b_hh", u_init, (3 * self.hidden,))
+        def params_for(name: str):
+            return (
+                self.param(f"{name}_w_ih", u_init, (C, 3 * self.hidden)),
+                self.param(f"{name}_w_hh", u_init, (self.hidden, 3 * self.hidden)),
+                self.param(f"{name}_b_ih", u_init, (3 * self.hidden,)),
+                self.param(f"{name}_b_hh", u_init, (3 * self.hidden,)),
+            )
 
-            gi = jnp.einsum("btc,ch->bth", xs, w_ih) + b_ih  # precompute input proj
-
-            def step(h, gi_t):
-                gh = jnp.matmul(h, w_hh) + b_hh
-                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
-                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-                r = nn.sigmoid(i_r + h_r)
-                z = nn.sigmoid(i_z + h_z)
-                n = jnp.tanh(i_n + r * h_n)
-                h_new = (1.0 - z) * n + z * h
-                return h_new, h_new
-
-            h0 = jnp.zeros((B, self.hidden), xs.dtype)
-            # unroll amortizes per-step while-loop overhead on TPU; the
-            # recurrence itself is tiny (one [B,H]x[H,3H] matmul per step)
-            _, ys = lax.scan(step, h0, jnp.swapaxes(gi, 0, 1), unroll=self.unroll)
-            return jnp.swapaxes(ys, 0, 1)
-
-        fwd = direction("fwd", x)
-        bwd = jnp.flip(direction("bwd", jnp.flip(x, axis=1)), axis=1)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        fwd_p = params_for("fwd")
+        bwd_p = params_for("bwd")
+        xs = jnp.stack([x, jnp.flip(x, axis=1)])  # [2, B, T, C]
+        stacked = [jnp.stack([a, b]) for a, b in zip(fwd_p, bwd_p)]
+        ys = gru_stacked(xs, *stacked)  # [2, B, T, H]
+        return jnp.concatenate([ys[0], jnp.flip(ys[1], axis=1)], axis=-1)
