@@ -256,6 +256,44 @@ def test_discriminators_and_losses(v2w_setup):
     assert float(feature_loss(fmap_rs, fmap_rs)) == 0.0
 
 
+def test_pair_batched_discriminators_match_sequential(v2w_setup):
+    """pair_batched=True (one concat-batched pass per sub-discriminator) must
+    reproduce the two-pass outputs exactly: convs are batch-independent."""
+    cfg, *_ = v2w_setup
+    rng = np.random.default_rng(2)
+    B, T = 2, 352
+    y = jnp.asarray(rng.standard_normal((B, T, 1)).clip(-1, 1), jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((B, T, 1)).clip(-1, 1), jnp.float32)
+
+    mpd = MultiPeriodDiscriminator(cfg)
+    mpd_pair = MultiPeriodDiscriminator(cfg, pair_batched=True)
+    mpd_vars = mpd.init(jax.random.PRNGKey(0), y, y_hat)
+    out_seq = mpd.apply(mpd_vars, y, y_hat)
+    out_pair = mpd_pair.apply(mpd_vars, y, y_hat)
+    for a, b in zip(jax.tree_util.tree_leaves(out_seq),
+                    jax.tree_util.tree_leaves(out_pair)):
+        # Batched conv may reorder accumulation, so compare at a tolerance
+        # relative to each tensor's scale (the un-normalized spectral stack
+        # amplifies inputs to ~1e12, making element-wise rtol meaningless).
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) <= 1e-5 * scale
+
+    msd = MultiScaleDiscriminator(update_spectral=False)
+    msd_pair = MultiScaleDiscriminator(update_spectral=False, pair_batched=True)
+    msd_vars = msd.init(jax.random.PRNGKey(1), y, y_hat)
+    out_seq = msd.apply(msd_vars, y, y_hat)
+    out_pair = msd_pair.apply(msd_vars, y, y_hat)
+    for a, b in zip(jax.tree_util.tree_leaves(out_seq),
+                    jax.tree_util.tree_leaves(out_pair)):
+        # Batched conv may reorder accumulation, so compare at a tolerance
+        # relative to each tensor's scale (the un-normalized spectral stack
+        # amplifies inputs to ~1e12, making element-wise rtol meaningless).
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) <= 1e-5 * scale
+
+
 def test_config_roundtrip(tmp_path):
     from wavthruvec_pytorch_tpu.config import load_config, save_config
 

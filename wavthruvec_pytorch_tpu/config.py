@@ -212,6 +212,12 @@ class Vec2WavConfig:
     # TPU-native additions
     compute_dtype: str = "float32"
     frame_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+    # Run each sub-discriminator once on concat([y, y_hat]) instead of twice:
+    # the MSD conv chain is utilization-bound at batch 2, and the batched pass
+    # cuts its fwd+bwd from 138 to 93 ms at T=40960 (tools/disc_pair_bench.py).
+    # Math-identical for the convs; spectral-norm power iteration advances
+    # once per step instead of twice (see PARITY.md).
+    disc_pair_batched: bool = True
 
     @property
     def tensorboard_logs_path(self) -> str:

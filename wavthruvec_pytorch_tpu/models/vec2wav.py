@@ -277,18 +277,32 @@ class DiscriminatorP(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
-    """Periods (13, 17, 19) (reference: models.py:195-215, hparams.py:47)."""
+    """Periods (13, 17, 19) (reference: models.py:195-215, hparams.py:47).
+
+    ``pair_batched=True`` runs each period discriminator ONCE on
+    ``concat([y, y_hat])`` instead of twice sequentially — numerically
+    identical (convs are batch-independent) but halves the dispatch count
+    of the narrow conv chain, which is utilization-bound at batch 2.
+    """
 
     cfg: Vec2WavConfig
     dtype: Optional[jnp.dtype] = None
+    pair_batched: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        B = y.shape[0]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.cfg.periods):
             d = DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i}")
-            y_d_r, fmap_r = d(y)
-            y_d_g, fmap_g = d(y_hat)
+            if self.pair_batched:
+                o, fmap = d(jnp.concatenate([y, y_hat], axis=0))
+                y_d_r, y_d_g = o[:B], o[B:]
+                fmap_r = [m[:B] for m in fmap]
+                fmap_g = [m[B:] for m in fmap]
+            else:
+                y_d_r, fmap_r = d(y)
+                y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)
             fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g)
@@ -360,13 +374,22 @@ class DiscriminatorS(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     """3 scales, first spectral-normed, AvgPool(4,2,2) between scales
-    (reference: models.py:246-275)."""
+    (reference: models.py:246-275).
+
+    ``pair_batched=True``: one concat-batched pass per scale instead of two
+    (see MultiPeriodDiscriminator).  With spectral-norm updates on, the
+    power-iteration vector then advances once per step instead of twice —
+    the reference updates it per forward call (torch spectral_norm hook);
+    documented in PARITY.md, numerically identical when updates are off.
+    """
 
     update_spectral: bool = True
     dtype: Optional[jnp.dtype] = None
+    pair_batched: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        B = y.shape[0]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i in range(3):
             if i != 0:
@@ -378,8 +401,14 @@ class MultiScaleDiscriminator(nn.Module):
                 dtype=self.dtype,
                 name=f"discriminators_{i}",
             )
-            y_d_r, fmap_r = d(y)
-            y_d_g, fmap_g = d(y_hat)
+            if self.pair_batched:
+                o, fmap = d(jnp.concatenate([y, y_hat], axis=0))
+                y_d_r, y_d_g = o[:B], o[B:]
+                fmap_r = [m[:B] for m in fmap]
+                fmap_g = [m[B:] for m in fmap]
+            else:
+                y_d_r, fmap_r = d(y)
+                y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)
             fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g)

@@ -82,8 +82,12 @@ def init_state(
 ) -> Tuple[V2WModels, GANTrainState]:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     gen = Generator(cfg, dtype=dtype)
-    mpd = MultiPeriodDiscriminator(cfg, dtype=dtype)
-    msd = MultiScaleDiscriminator(dtype=dtype)
+    mpd = MultiPeriodDiscriminator(
+        cfg, dtype=dtype, pair_batched=cfg.disc_pair_batched
+    )
+    msd = MultiScaleDiscriminator(
+        dtype=dtype, pair_batched=cfg.disc_pair_batched
+    )
 
     g_rng, d_rng, n_rng = jax.random.split(rng, 3)
     noise = jax.random.normal(
