@@ -72,30 +72,37 @@ def main(B=1, N=32, T=500):
     res = {"overhead_ms": round(overhead * 1e3, 2)}
 
     @jax.jit
-    def t2v_full(eps):
-        out = t2v.apply(t2v_vars, src_seq, src_pos, ref_feat + eps, T, 1.0,
+    def _t2v_full(v, eps):
+        out = t2v.apply(v, src_seq, src_pos, ref_feat + eps, T, 1.0,
                         method=Text2Vec.infer)
         return jnp.sum(out["feat_postnet_output"][:, ::64, ::64])
 
+    t2v_full = lambda eps: _t2v_full(t2v_vars, eps)
+
     @jax.jit
-    def spk_emb(eps):
-        e = t2v.apply(t2v_vars, ref_feat + eps,
-                      method=Text2Vec.speaker_embedding)
+    def _spk_emb(v, eps):
+        e = t2v.apply(v, ref_feat + eps, method=Text2Vec.speaker_embedding)
         return jnp.sum(e)
+
+    spk_emb = lambda eps: _spk_emb(t2v_vars, eps)
 
     # infer with precomputed speaker embedding (serving fast path)
     spk_e = t2v.apply(t2v_vars, ref_feat, method=Text2Vec.speaker_embedding)
 
     @jax.jit
-    def t2v_fast(eps):
-        out = t2v.apply(t2v_vars, src_seq, src_pos, None, T, 1.0,
+    def _t2v_fast(v, eps):
+        out = t2v.apply(v, src_seq, src_pos, None, T, 1.0,
                         spk_e + eps, method=Text2Vec.infer)
         return jnp.sum(out["feat_postnet_output"][:, ::64, ::64])
 
+    t2v_fast = lambda eps: _t2v_fast(t2v_vars, eps)
+
     @jax.jit
-    def gen_fwd(eps):
-        wav = gen.apply(gen_vars, latents + eps, spk, noise, train=False)
+    def _gen_fwd(v, eps):
+        wav = gen.apply(v, latents + eps, spk, noise, train=False)
         return jnp.sum(wav[:, ::1024, 0])
+
+    gen_fwd = lambda eps: _gen_fwd(gen_vars, eps)
 
     # CBHG standalone at the decoder-output shape
     cbhg = CBHG(in_dim=t2v_cfg.n_feat_dim)
@@ -104,9 +111,11 @@ def main(B=1, N=32, T=500):
         lambda k: cbhg.init(k, x_cb, train=False))(r2)
 
     @jax.jit
-    def cbhg_fwd(eps):
-        y = cbhg.apply(cb_vars, x_cb + eps, train=False)
+    def _cbhg_fwd(v, eps):
+        y = cbhg.apply(v, x_cb + eps, train=False)
         return jnp.sum(y[:, ::64, ::64])
+
+    cbhg_fwd = lambda eps: _cbhg_fwd(cb_vars, eps)
 
     # BiGRU standalone at the CBHG shape (input 1024 -> 2x1024)
     big = BiGRU(hidden=1024)
@@ -114,9 +123,11 @@ def main(B=1, N=32, T=500):
     g_vars = jax.jit(lambda k: big.init(k, x_g))(r2)
 
     @jax.jit
-    def gru_fwd(eps):
-        y = big.apply(g_vars, x_g + eps)
+    def _gru_fwd(v, eps):
+        y = big.apply(v, x_g + eps)
         return jnp.sum(y[:, ::64, ::64])
+
+    gru_fwd = lambda eps: _gru_fwd(g_vars, eps)
 
     for name, fn in [("t2v_full", t2v_full), ("t2v_fastpath", t2v_fast),
                      ("spk_emb_ecapa", spk_emb), ("generator", gen_fwd),
