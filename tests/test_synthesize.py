@@ -61,6 +61,41 @@ def test_synthesizer_end_to_end():
     assert (n2 >= n_samples).all()
 
 
+def test_make_serving_generator_bf16():
+    """bf16 serving mode: folded weight-norm + bf16-stored params produces
+    f32 audio tracking the exact f32 generator (tools/gen_variants_bench.py
+    is the TPU timing evidence; this is the correctness side)."""
+    from wavthruvec_pytorch_tpu.infer.synthesize import make_serving_generator
+
+    v2w_cfg = dataclasses.replace(V2W_SMALL, spk_dim=16, noise_dim=16)
+    gen = Generator(v2w_cfg)
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    lat = jnp.asarray(r.standard_normal((2, 16, v2w_cfg.n_feat_dim)), jnp.float32) * 0.1
+    spk = jnp.asarray(r.standard_normal((2, v2w_cfg.spk_dim)), jnp.float32)
+    noise = jnp.asarray(r.standard_normal((2, v2w_cfg.noise_dim)), jnp.float32)
+    gen_vars = gen.init(rng, lat, spk, noise, train=False)
+
+    y_ref = np.asarray(gen.apply(gen_vars, lat, spk, noise, train=False))
+
+    gen_f32, vars_f32 = make_serving_generator(v2w_cfg, gen_vars, "f32")
+    y_f32 = np.asarray(gen_f32.apply(vars_f32, lat, spk, noise, train=False))
+    np.testing.assert_allclose(y_f32, y_ref, atol=1e-6)
+
+    gen_bf, vars_bf = make_serving_generator(v2w_cfg, gen_vars, "bf16")
+    for leaf in jax.tree_util.tree_leaves(vars_bf["params"]):
+        assert leaf.dtype == jnp.bfloat16
+    y_bf = np.asarray(gen_bf.apply(vars_bf, lat, spk, noise, train=False))
+    assert y_bf.dtype == np.float32
+    assert np.isfinite(y_bf).all()
+    # pre-saturation signals on a tiny random net: bf16 tracks f32 closely
+    corr = np.corrcoef(y_bf.ravel(), y_ref.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    with pytest.raises(ValueError):
+        make_serving_generator(v2w_cfg, gen_vars, "int8")
+
+
 @pytest.mark.slow
 def test_synthesizer_cached_spk_emb_matches():
     """Precomputed-speaker-embedding serving path reproduces the ref_feats

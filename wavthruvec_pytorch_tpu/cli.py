@@ -103,6 +103,10 @@ def _serve(rest):
     p.add_argument("--stream_chunk", type=int, default=0,
                    help="with --pcm: emit audio in chunks of N latent frames "
                    "while later chunks compute (StreamingVocoder)")
+    p.add_argument("--gen_precision", choices=("f32", "bf16"), default="f32",
+                   help="vocoder serving precision: bf16 pre-folds weight "
+                   "norm and stores/computes in bf16 (-12%% latency measured; "
+                   "audio output stays f32)")
     a = p.parse_args(rest)
 
     import jax
@@ -149,7 +153,10 @@ def _serve(rest):
             sd = ckpt.load_torch_state_dict(a.gen_checkpoint, key="generator")
             gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
 
-    synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend)
+    from wavthruvec_pytorch_tpu.infer.synthesize import make_serving_generator
+
+    gen, gen_vars = make_serving_generator(v2w_cfg, gen_vars, a.gen_precision)
+    synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend, gen=gen)
     store = SpeakerStore(synth, a.spk_emb_dir, a.ref_feat_dir)
     n = serve_loop(
         synth, store, a.out_dir, default_speaker=a.speaker, alpha=a.alpha,
@@ -262,6 +269,10 @@ def _synthesize(rest):
     p.add_argument("--chunk_frames", type=int, default=100)
     p.add_argument("--max_frames", type=int, default=0,
                    help="output frame cap (default: largest frame bucket)")
+    p.add_argument("--gen_precision", choices=("f32", "bf16"), default="f32",
+                   help="vocoder serving precision: bf16 pre-folds weight "
+                   "norm and stores/computes in bf16 (-12%% latency measured; "
+                   "audio output stays f32)")
     a = p.parse_args(rest)
 
     import os
@@ -312,6 +323,11 @@ def _synthesize(rest):
 
         gen_vars = dict(gen_vars)
         gen_vars["params"] = fold_weight_norm(gen_vars["params"])
+    if a.gen_precision != "f32":
+        from wavthruvec_pytorch_tpu.infer.synthesize import make_serving_generator
+
+        gen, gen_vars = make_serving_generator(
+            v2w_cfg, gen_vars, a.gen_precision, fused=a.fused)
     synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend, gen=gen)
     ref_b = np.repeat(ref, len(a.text), axis=0)
     spk_b = np.repeat(spk, len(a.text), axis=0)

@@ -21,6 +21,59 @@ from wavthruvec_pytorch_tpu.text import TextFrontend
 from wavthruvec_pytorch_tpu.train.text2vec_train import pad_to_bucket
 
 
+class _F32OutputGenerator:
+    """Duck-typed Generator whose ``apply`` casts the waveform to f32.
+
+    Wraps a reduced-precision Generator so downstream consumers
+    (``Synthesizer._voc_fn``, ``StreamingVocoder``, wav writers) always see
+    float32 audio regardless of the compute dtype.
+    """
+
+    def __init__(self, gen: Generator):
+        self._gen = gen
+
+    def apply(self, variables, *args, **kwargs):
+        return self._gen.apply(variables, *args, **kwargs).astype(jnp.float32)
+
+
+def make_serving_generator(
+    v2w_cfg: Vec2WavConfig,
+    gen_variables,
+    precision: str = "f32",
+    fused: bool = False,
+):
+    """Build the inference-export Generator + variables for a serving mode.
+
+    ``precision``:
+      * ``"f32"`` — exact training-graph math (default; bit-matches the
+        train-branch forward).
+      * ``"bf16"`` — weight-norm pre-folded (the reference's
+        ``remove_weight_norm`` export, vec2wav/models.py:149-156) with
+        bf16-STORED parameters and bf16 compute; halves weight HBM traffic.
+        Measured −12% generator latency at B4/1000 frames on one v5e chip
+        (tools/gen_variants_bench.py; int8 weights measured no further gain
+        over bf16 and add quantization error — tools/gen_int8_bench.py).
+
+    Returns ``(gen, variables)`` ready for ``Synthesizer(..., gen=gen)``.
+    Audio output is always float32.
+    """
+    from wavthruvec_pytorch_tpu.models.vec2wav import fold_weight_norm
+
+    if precision == "f32":
+        return Generator(v2w_cfg, fused=fused), gen_variables
+    if precision != "bf16":
+        raise ValueError(f"unknown serving precision: {precision!r}")
+    variables = dict(gen_variables)
+    variables["params"] = fold_weight_norm(variables["params"])
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if jnp.asarray(x).dtype == jnp.float32 else jnp.asarray(x),
+        variables,
+    )
+    gen = Generator(v2w_cfg, folded=True, fused=fused, dtype=jnp.bfloat16)
+    return _F32OutputGenerator(gen), variables
+
+
 class Synthesizer:
     def __init__(
         self,
