@@ -238,6 +238,33 @@ def test_gru_custom_vjp_matches_autodiff():
                                    atol=1e-5, err_msg=name)
 
 
+def test_bigru_pallas_impl_matches_scan():
+    """BiGRU(impl="pallas") (ops/gru_pallas.py forward kernel, interpret mode
+    on CPU) matches the scan implementation within bf16-weight rounding, in
+    both the forward values and the custom-VJP gradients."""
+    from wavthruvec_pytorch_tpu.models.layers import BiGRU
+    from wavthruvec_pytorch_tpu.ops.gru_pallas import gru_pallas_supported
+
+    assert gru_pallas_supported(2, 2, 128)
+    assert not gru_pallas_supported(2, 2, 72)  # lane-alignment gate
+    assert not gru_pallas_supported(2, 512, 1024)  # VMEM budget gate
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 33, 48)), jnp.float32) * 0.5
+    m_scan = BiGRU(hidden=128)
+    m_pal = BiGRU(hidden=128, impl="pallas")
+    v = m_scan.init(jax.random.PRNGKey(0), x)
+    y0 = np.asarray(m_scan.apply(v, x))
+    y1 = np.asarray(m_pal.apply(v, x))
+    np.testing.assert_allclose(y1, y0, atol=2e-3)
+
+    g0 = jax.grad(lambda vv: jnp.sum(jnp.tanh(m_scan.apply(vv, x))))(v)
+    g1 = jax.grad(lambda vv: jnp.sum(jnp.tanh(m_pal.apply(vv, x))))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+        assert rel < 5e-3, rel
+
+
 def test_batchnorm_matches_torch_train_and_eval():
     torch.manual_seed(8)
     from wavthruvec_pytorch_tpu.models.layers import BatchNorm

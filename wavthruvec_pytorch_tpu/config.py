@@ -105,6 +105,11 @@ class Text2VecConfig:
     # rematerialize FFT blocks in the backward pass (trades FLOPs for HBM on
     # long frame buckets)
     remat: bool = False
+    # CBHG biGRU forward recurrence: "scan" (lax.scan, exact f32) or
+    # "pallas" (ops/gru_pallas.py — w_hh VMEM-resident in bf16 across steps;
+    # matches TPU default matmul precision; falls back to scan when the
+    # shapes don't fit VMEM)
+    gru_impl: str = "scan"
     # static shape buckets for jit-cache friendliness: text lengths and frame
     # lengths are padded up to the nearest bucket edge.
     text_buckets: Tuple[int, ...] = (32, 64, 128)

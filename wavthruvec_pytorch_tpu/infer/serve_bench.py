@@ -40,7 +40,7 @@ def _median_time(fn, args_list, warmup=3):
     return float(np.median(ts))
 
 
-def run(batches, iters=24):
+def run(batches, iters=24, gen_precision="f32"):
     import jax
     import jax.numpy as jnp
 
@@ -75,6 +75,10 @@ def run(batches, iters=24):
         lambda k: gen.init(k, jnp.zeros((1, N_FRAMES, v2w_cfg.n_feat_dim)),
                            spk1, noise1, train=False)
     )(r3)
+    if gen_precision != "f32":
+        from wavthruvec_pytorch_tpu.infer.synthesize import make_serving_generator
+
+        gen, gen_vars = make_serving_generator(v2w_cfg, gen_vars, gen_precision)
 
     @jax.jit
     def null_scalar(eps):
@@ -167,6 +171,7 @@ def run(batches, iters=24):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="1,8,16,32")
+    p.add_argument("--gen_precision", choices=("f32", "bf16"), default="f32")
     a = p.parse_args()
     _cache()
-    run([int(x) for x in a.batches.split(",")])
+    run([int(x) for x in a.batches.split(",")], gen_precision=a.gen_precision)

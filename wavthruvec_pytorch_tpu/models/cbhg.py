@@ -73,6 +73,7 @@ class CBHG(nn.Module):
     projections: Sequence[int] = (256, 1024)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    gru_impl: str = "scan"  # "pallas": VMEM-resident forward recurrence
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -114,4 +115,4 @@ class CBHG(nn.Module):
         for i in range(4):
             x = Highway(self.in_dim, name=f"highways_{i}")(x)
 
-        return BiGRU(self.in_dim, name="gru")(x)  # [B, T, 2*in_dim]
+        return BiGRU(self.in_dim, impl=self.gru_impl, name="gru")(x)  # [B, T, 2*in_dim]

@@ -9,6 +9,7 @@ reference's ``[B, C, T]`` transposes disappear).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -704,10 +705,16 @@ def _gru_gates(gi_t, gh):
     return r, z, n, h_n
 
 
-@jax.custom_vjp
-def gru_stacked(xs, w_ih, w_hh, b_ih, b_hh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gru_stacked(xs, w_ih, w_hh, b_ih, b_hh, impl="scan"):
     """D independent GRU directions in ONE scan: [D, B, T, C] -> [D, B, T, H]
     (torch gate math; weights [D, C|H, 3H], biases [D, 3H]).
+
+    ``impl="pallas"`` runs the forward recurrence through the Pallas kernel
+    (ops/gru_pallas.py: w_hh VMEM-resident in bf16 across all T steps —
+    TPU default matmul precision — with the per-step input/output rows
+    auto-pipelined); falls back to the scan when shapes don't fit VMEM.
+    The backward pass is the same custom VJP either way.
 
     Two performance properties, both measured at CBHG shapes
     (tools/cbhg_profile.py, B16 T1024 H1024):
@@ -723,14 +730,29 @@ def gru_stacked(xs, w_ih, w_hh, b_ih, b_hh):
       both BiGRU directions in the same scan gives each step two
       INDEPENDENT matmuls to pipeline.
     """
-    ys, _, _ = _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh)
+    ys, _, _ = _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh, impl)
     return ys
 
 
-def _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh):
+def _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh, impl="scan"):
     D, B, T, C = xs.shape
     H = w_hh.shape[1]
     gi = jnp.einsum("dbtc,dch->dbth", xs, w_ih) + b_ih[:, None, None]
+
+    if impl == "pallas":
+        from wavthruvec_pytorch_tpu.ops.gru_pallas import (
+            gru_fwd_pallas,
+            gru_pallas_supported,
+        )
+
+        if gru_pallas_supported(D, B, H):
+            interpret = jax.devices()[0].platform != "tpu"
+            ys = gru_fwd_pallas(gi, w_hh, b_hh, interpret=interpret)
+            hs = jnp.moveaxis(ys, 2, 0)  # [T, D, B, H]
+            hprev = jnp.concatenate(
+                [jnp.zeros((1, D, B, H), xs.dtype), hs[:-1]], axis=0
+            )
+            return ys, gi, hprev
 
     def step(h, gi_t):  # h [D, B, H], gi_t [D, B, 3H]
         gh = jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh[:, None]
@@ -746,12 +768,12 @@ def _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh):
     return ys, gi, hprev
 
 
-def _gru_stacked_fwd(xs, w_ih, w_hh, b_ih, b_hh):
-    ys, gi, hprev = _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh)
+def _gru_stacked_fwd(xs, w_ih, w_hh, b_ih, b_hh, impl="scan"):
+    ys, gi, hprev = _gru_fwd_core(xs, w_ih, w_hh, b_ih, b_hh, impl)
     return ys, (xs, gi, hprev, w_ih, w_hh, b_hh)
 
 
-def _gru_stacked_bwd(res, dys):
+def _gru_stacked_bwd(impl, res, dys):
     xs, gi, hprev, w_ih, w_hh, b_hh = res
     D, B, _, _ = xs.shape
     H = w_hh.shape[1]
@@ -820,6 +842,7 @@ class BiGRU(nn.Module):
 
     hidden: int
     unroll: int = 8
+    impl: str = "scan"  # "pallas": VMEM-resident Pallas forward recurrence
 
     @nn.compact
     def __call__(self, x):
@@ -841,5 +864,5 @@ class BiGRU(nn.Module):
         bwd_p = params_for("bwd")
         xs = jnp.stack([x, jnp.flip(x, axis=1)])  # [2, B, T, C]
         stacked = [jnp.stack([a, b]) for a, b in zip(fwd_p, bwd_p)]
-        ys = gru_stacked(xs, *stacked)  # [2, B, T, H]
+        ys = gru_stacked(xs, *stacked, self.impl)  # [2, B, T, H]
         return jnp.concatenate([ys[0], jnp.flip(ys[1], axis=1)], axis=-1)

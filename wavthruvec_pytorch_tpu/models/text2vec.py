@@ -161,7 +161,8 @@ class Text2Vec(nn.Module):
         )
         self.WVF_linear = Linear(cfg.n_feat_dim, w_init_gain="linear", dtype=self.dtype)
         self.postnet = CBHG(
-            cfg.n_feat_dim, K=8, projections=(256, cfg.n_feat_dim), dtype=self.dtype
+            cfg.n_feat_dim, K=8, projections=(256, cfg.n_feat_dim),
+            dtype=self.dtype, gru_impl=cfg.gru_impl,
         )
         self.last_linear = Linear(cfg.n_feat_dim, w_init_gain="linear", dtype=self.dtype)
         if cfg.learn_alignments:
