@@ -107,7 +107,13 @@ def _serve(rest):
                    help="vocoder serving precision: bf16 pre-folds weight "
                    "norm and stores/computes in bf16 (-12%% latency measured; "
                    "audio output stays f32)")
+    p.add_argument("--gru_impl", choices=("scan", "pallas"), default=None,
+                   help="CBHG biGRU recurrence: pallas keeps the hidden "
+                   "weights VMEM-resident across steps (TPU; bf16-default-"
+                   "precision numerics)")
     a = p.parse_args(rest)
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -116,6 +122,8 @@ def _serve(rest):
 
     t2v_cfg = (load_config(Text2VecConfig, a.t2v_config) if a.t2v_config
                else Text2VecConfig().with_vocab_from_file(a.vocab_path))
+    if a.gru_impl:
+        t2v_cfg = dataclasses.replace(t2v_cfg, gru_impl=a.gru_impl)
     v2w_cfg = (load_config(Vec2WavConfig, a.v2w_config) if a.v2w_config
                else Vec2WavConfig())
     frontend = TextFrontend.from_vocab_file(
@@ -273,14 +281,21 @@ def _synthesize(rest):
                    help="vocoder serving precision: bf16 pre-folds weight "
                    "norm and stores/computes in bf16 (-12%% latency measured; "
                    "audio output stays f32)")
+    p.add_argument("--gru_impl", choices=("scan", "pallas"), default=None,
+                   help="CBHG biGRU recurrence: pallas keeps the hidden "
+                   "weights VMEM-resident across steps (TPU; bf16-default-"
+                   "precision numerics)")
     a = p.parse_args(rest)
 
+    import dataclasses
     import os
 
     import jax
     import jax.numpy as jnp
 
     t2v_cfg = Text2VecConfig().with_vocab_from_file(a.vocab_path)
+    if a.gru_impl:
+        t2v_cfg = dataclasses.replace(t2v_cfg, gru_impl=a.gru_impl)
     v2w_cfg = Vec2WavConfig()
     frontend = TextFrontend.from_vocab_file(a.vocab_path)
     t2v = Text2Vec(t2v_cfg)

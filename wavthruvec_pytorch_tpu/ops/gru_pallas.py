@@ -3,8 +3,14 @@
 The lax.scan forward (models/layers.py:gru_stacked) is latency-bound: each
 of T steps is a tiny [B, H] x [H, 3H] matmul plus XLA while-loop overhead
 (BENCH_NOTES "GRU backward fix" — unrolling and direction fusion measured
-within noise; the identified next lever is keeping h and w_hh resident in
-VMEM across steps).  This kernel does exactly that:
+within noise; the identified next lever was keeping h and w_hh resident in
+VMEM across steps).  This kernel does exactly that — and measured
+PERFORMANCE-NEUTRAL vs the scan (chained-repeat timing, BENCH_NOTES
+"Pallas GRU forward kernel"): XLA's while-loop lowering already keeps the
+loop-invariant weights on-chip, and both implementations sit at the MXU
+small-M matmul latency floor (~6 us/step at B=16).  It stays as a
+validated, selectable alternative (``Text2VecConfig(gru_impl="pallas")``),
+with the scan as default.  Design notes:
 
 * grid = (T,) — Mosaic's pipeline double-buffers the per-step input
   projections ([D, B, 3H] slices) and output rows automatically;
