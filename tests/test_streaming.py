@@ -43,6 +43,20 @@ def test_streaming_equals_full_forward():
         np.testing.assert_allclose(out, full, atol=2e-5, err_msg=f"chunk={chunk}")
 
 
+def test_streaming_equals_full_forward_resblock1():
+    """ResBlock1 configs have a deeper receptive field (convs1 dilations plus
+    three dilation-1 convs2); the context calculation must cover it too."""
+    cfg = dataclasses.replace(V2W_SMALL, resblock="1")
+    assert cfg.use_resblock1
+    gen, gv, lat, spk, noi, full = _setup(cfg)
+    assert conservative_context_frames(cfg) > conservative_context_frames(
+        V2W_SMALL)
+    for chunk in (8, 37):
+        sv = StreamingVocoder(gen, gv, cfg, chunk_frames=chunk)
+        out = sv.vocode(lat, spk, noi)
+        np.testing.assert_allclose(out, full, atol=2e-5, err_msg=f"chunk={chunk}")
+
+
 def test_streaming_chunk_sizes_and_order():
     cfg = V2W_SMALL
     gen, gv, lat, spk, noi, full = _setup(cfg)

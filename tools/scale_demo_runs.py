@@ -41,7 +41,10 @@ def main():
     p.add_argument("--n_speakers", type=int, default=4)
     p.add_argument("--n_utts", type=int, default=60)
     p.add_argument("--stage", default="both", choices=["t2v", "v2w", "both"])
+    p.add_argument("--tag", default="scale",
+                   help="run-dir log_seed (+ curve-file suffix when not 'scale')")
     a = p.parse_args()
+    suffix = "" if a.tag == "scale" else f"_{a.tag}"
     _cache()
     os.makedirs(ART, exist_ok=True)
 
@@ -61,7 +64,7 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             run_path=f"{ART}/text2vec",
-            log_seed="scale",
+            log_seed=a.tag,
             epochs=10**6,
             batch_size=8,
             batch_expand_size=2,
@@ -75,7 +78,7 @@ def main():
             ["--max_steps", str(a.t2v_steps), "--scalar_log_step", "2", "--validate"]
         )
         state = text2vec_loop.main(args, cfg)
-        s = _summarize_tb(cfg.tensorboard_logs_path, f"{ART}/text2vec_curves.json")
+        s = _summarize_tb(cfg.tensorboard_logs_path, f"{ART}/text2vec_curves{suffix}.json")
         print("t2v done at", int(state.step))
         for tag, v in s.items():
             print(f"  {tag}: {v['first10_mean']} -> {v['last10_mean']} (min {v['min']})")
@@ -88,7 +91,7 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             run_path=f"{ART}/vec2wav",
-            log_seed="scale",
+            log_seed=a.tag,
             split=True,           # feature-space windowed mode in the real loop
             segment_size=2560,    # 8 latent frames x 320 (short demo utts)
             batch_size=16,
@@ -101,7 +104,7 @@ def main():
              "--stdout_interval", "100"]
         )
         state = vec2wav_loop.main(args, cfg)
-        s = _summarize_tb(cfg.tensorboard_logs_path, f"{ART}/vec2wav_curves.json")
+        s = _summarize_tb(cfg.tensorboard_logs_path, f"{ART}/vec2wav_curves{suffix}.json")
         print("v2w done at", int(state.step))
         for tag, v in s.items():
             print(f"  {tag}: {v['first10_mean']} -> {v['last10_mean']} (min {v['min']})")

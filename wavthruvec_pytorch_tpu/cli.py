@@ -67,13 +67,9 @@ def main(argv=None):
 
 def _serve(rest):
     """Long-running stdin->wav synthesis loop (infer/serve.py)."""
-    import numpy as np
-
-    from wavthruvec_pytorch_tpu import checkpoint as ckpt
     from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
     from wavthruvec_pytorch_tpu.infer.serve import SpeakerStore, serve_loop
     from wavthruvec_pytorch_tpu.infer.synthesize import Synthesizer
-    from wavthruvec_pytorch_tpu.models import Generator, Text2Vec
     from wavthruvec_pytorch_tpu.text import TextFrontend
 
     p = argparse.ArgumentParser()
@@ -115,9 +111,6 @@ def _serve(rest):
 
     import dataclasses
 
-    import jax
-    import jax.numpy as jnp
-
     from wavthruvec_pytorch_tpu.config import load_config
 
     t2v_cfg = (load_config(Text2VecConfig, a.t2v_config) if a.t2v_config
@@ -128,40 +121,15 @@ def _serve(rest):
                else Vec2WavConfig())
     frontend = TextFrontend.from_vocab_file(
         a.t2v_config and t2v_cfg.vocab_path or a.vocab_path)
-    t2v = Text2Vec(t2v_cfg)
-    gen = Generator(v2w_cfg)
-    rng = jax.random.PRNGKey(0)
-    t_ref = 16
-    t2v_vars = t2v.init(
-        {"params": rng, "dropout": rng},
-        jnp.ones((1, 8), jnp.int32), jnp.arange(1, 9, dtype=jnp.int32)[None],
-        jnp.zeros((1, t_ref, t2v_cfg.n_feat_dim)),
-        jnp.array([8]), jnp.array([t_ref]),
-        jnp.arange(1, t_ref + 1, dtype=jnp.int32)[None],
-        attn_prior=jnp.ones((1, t_ref, 8)),
-        deterministic=True, train_bn=False,
+    from wavthruvec_pytorch_tpu.infer.synthesize import (
+        init_import_models,
+        make_serving_generator,
     )
-    if a.t2v_checkpoint:
-        if a.t2v_checkpoint.endswith(".pth.tar"):
-            sd = ckpt.load_torch_state_dict(a.t2v_checkpoint, key="model")
-            t2v_vars = ckpt.import_text2vec(sd, t2v_cfg)
-        else:
-            t2v_vars = ckpt.restore_checkpoint(a.t2v_checkpoint, t2v_vars)
-    gen_vars = gen.init(
-        rng, jnp.zeros((1, 8, v2w_cfg.n_feat_dim)),
-        jnp.zeros((1, v2w_cfg.spk_dim)), jnp.zeros((1, v2w_cfg.noise_dim)),
-        train=False,
+
+    _, t2v_vars, gen, gen_vars = init_import_models(
+        t2v_cfg, v2w_cfg,
+        t2v_checkpoint=a.t2v_checkpoint, gen_checkpoint=a.gen_checkpoint,
     )
-    if a.gen_checkpoint:
-        import os as _os
-
-        if _os.path.isdir(a.gen_checkpoint):
-            gen_vars = ckpt.restore_checkpoint(a.gen_checkpoint, gen_vars)
-        else:
-            sd = ckpt.load_torch_state_dict(a.gen_checkpoint, key="generator")
-            gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
-
-    from wavthruvec_pytorch_tpu.infer.synthesize import make_serving_generator
 
     gen, gen_vars = make_serving_generator(v2w_cfg, gen_vars, a.gen_precision)
     synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend, gen=gen)
@@ -251,10 +219,8 @@ def _pre_spk_emb(rest):
 def _synthesize(rest):
     import numpy as np
 
-    from wavthruvec_pytorch_tpu import checkpoint as ckpt
     from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
     from wavthruvec_pytorch_tpu.infer.synthesize import Synthesizer, write_wav
-    from wavthruvec_pytorch_tpu.models import Generator, Text2Vec
     from wavthruvec_pytorch_tpu.text import TextFrontend
 
     p = argparse.ArgumentParser()
@@ -288,56 +254,25 @@ def _synthesize(rest):
     a = p.parse_args(rest)
 
     import dataclasses
-    import os
 
     import jax
-    import jax.numpy as jnp
 
     t2v_cfg = Text2VecConfig().with_vocab_from_file(a.vocab_path)
     if a.gru_impl:
         t2v_cfg = dataclasses.replace(t2v_cfg, gru_impl=a.gru_impl)
     v2w_cfg = Vec2WavConfig()
     frontend = TextFrontend.from_vocab_file(a.vocab_path)
-    t2v = Text2Vec(t2v_cfg)
-    gen = Generator(v2w_cfg, folded=a.folded, fused=a.fused)
-    rng = jax.random.PRNGKey(0)
     ref = np.load(a.ref_npy).squeeze()[None]
-    # init through the train branch -> full param tree for restore
-    t_ref = ref.shape[1]
-    t2v_vars = t2v.init(
-        {"params": rng, "dropout": rng},
-        jnp.ones((1, 8), jnp.int32), jnp.arange(1, 9, dtype=jnp.int32)[None],
-        jnp.asarray(ref, jnp.float32),
-        jnp.array([8]), jnp.array([t_ref]),
-        jnp.arange(1, t_ref + 1, dtype=jnp.int32)[None],
-        attn_prior=jnp.ones((1, t_ref, 8)),
-        deterministic=True, train_bn=False,
+    from wavthruvec_pytorch_tpu.infer.synthesize import init_import_models
+
+    _, t2v_vars, gen, gen_vars = init_import_models(
+        t2v_cfg, v2w_cfg,
+        t2v_checkpoint=a.t2v_checkpoint, gen_checkpoint=a.gen_checkpoint,
+        ref_feat=ref, folded=a.folded, fused=a.fused,
     )
-    if a.t2v_checkpoint:
-        if a.t2v_checkpoint.endswith(".pth.tar"):
-            sd = ckpt.load_torch_state_dict(a.t2v_checkpoint, key="model")
-            t2v_vars = ckpt.import_text2vec(sd, t2v_cfg)
-        else:
-            t2v_vars = ckpt.restore_checkpoint(a.t2v_checkpoint, t2v_vars)
     from wavthruvec_pytorch_tpu.data.vocoder_data import load_spk_emb
 
     spk = load_spk_emb(a.spk_emb)[None]
-    gen_vars = gen.init(
-        rng, jnp.zeros((1, 8, v2w_cfg.n_feat_dim)), jnp.asarray(spk),
-        jnp.zeros((1, v2w_cfg.noise_dim)), train=False,
-    )
-    if a.gen_checkpoint:
-        if os.path.isdir(a.gen_checkpoint):
-            gen_vars = ckpt.restore_checkpoint(a.gen_checkpoint, gen_vars)
-        else:  # reference torch g_XXXXXXXX
-            sd = ckpt.load_torch_state_dict(a.gen_checkpoint, key="generator")
-            gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
-
-    if a.folded:
-        from wavthruvec_pytorch_tpu.models.vec2wav import fold_weight_norm
-
-        gen_vars = dict(gen_vars)
-        gen_vars["params"] = fold_weight_norm(gen_vars["params"])
     if a.gen_precision != "f32":
         from wavthruvec_pytorch_tpu.infer.synthesize import make_serving_generator
 

@@ -150,6 +150,8 @@ class VocoderDataset:
 
     def _cache_put(self, store, key, value, nbytes) -> None:
         with self._cache_lock:
+            if key in store:
+                return  # a concurrent worker won the race; don't double-count
             if self._cache_bytes + nbytes <= self.cache_budget_bytes:
                 store[key] = value
                 self._cache_bytes += nbytes

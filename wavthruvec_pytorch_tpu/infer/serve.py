@@ -27,6 +27,9 @@ Two production additions beyond the basic loop:
   32 reaches ~208 utt/s vs 192 at batch 1, and coalescing amortizes
   dispatch under bursty load without adding latency when idle (a request
   arriving alone still runs immediately).  Responses keep request order.
+  Coalesced batches are padded to power-of-two batch buckets so the jit
+  program space is fixed and ``--warmup`` can pre-compile ALL of it (at
+  most 2x padded compute on odd batch sizes — a latency/compile tradeoff).
 * **PCM-over-stdout** (``pcm=True``): instead of writing wav files, raw
   int16 little-endian PCM is written to the (binary) output stream framed
   by text control lines — with ``stream_chunk`` set, audio of each
@@ -36,7 +39,10 @@ Two production additions beyond the basic loop:
 
       PCMSTART <sr>\\n
       PCMCHUNK <n_bytes>\\n<bytes>...
-      PCMEND <n_samples> latency=<ms>\\n
+      PCMEND <n_samples> latency=<ms> ttfa=<ms>\\n
+
+  (``latency``/``ttfa`` are client-perceived: measured from coalesced-batch
+  arrival to the item's last/first audio bytes.)
 """
 
 from __future__ import annotations
@@ -126,10 +132,13 @@ class SpeakerStore:
             d = os.path.join(self.ref_feat_dir, spk)
             clips = sorted(f for f in os.listdir(d) if f.endswith(".npy")) if os.path.isdir(d) else []
             if not clips:
-                return None
-            ref = np.load(os.path.join(d, clips[0])).squeeze()[None]
-            self._t2v[spk] = self.synth.speaker_embedding(
-                ref.astype(np.float32))  # [1, n_speaker_dim]
+                # cache the negative result too: steady-state requests must
+                # not re-scan the filesystem per call
+                self._t2v[spk] = None
+            else:
+                ref = np.load(os.path.join(d, clips[0])).squeeze()[None]
+                self._t2v[spk] = self.synth.speaker_embedding(
+                    ref.astype(np.float32))  # [1, n_speaker_dim]
         return self._t2v[spk]
 
     def t2v_emb_or_fallback(self, spk: str) -> np.ndarray:
@@ -145,23 +154,40 @@ class SpeakerStore:
         return self._t2v["\0fallback"]
 
 
-def warmup(synth, max_frames: Optional[int] = None, alpha: float = 1.0):
-    """Pre-compile the synthesis programs for every configured text bucket
-    so the first real request runs at serving latency (compiles are cached
-    per shape)."""
+def _batch_buckets(max_batch: int) -> List[int]:
+    """Powers of two up to ``max_batch`` (inclusive): the fixed batch shapes
+    coalesced requests are padded to, bounding jit programs to
+    len(batch_buckets) x len(text_buckets)."""
+    bs, b = [], 1
+    while b < max_batch:
+        bs.append(b)
+        b *= 2
+    bs.append(max_batch)
+    return sorted(set(bs))
+
+
+def warmup(synth, max_frames: Optional[int] = None, alpha: float = 1.0,
+           max_batch: int = 1):
+    """Pre-compile the synthesis programs for every (batch-bucket,
+    text-bucket) shape the serve loop can produce, so real requests run at
+    serving latency.  Coalesced batches are padded to the same batch buckets
+    (powers of two up to ``max_batch``), so this covers them exhaustively;
+    compiles land in the persistent cache, making repeat warmups cheap."""
     cfg = synth.t2v_cfg
     mf = max_frames or cfg.frame_buckets[-1]
-    emb = np.zeros((1, cfg.n_speaker_dim), np.float32)
-    spk = np.zeros((1, synth.v2w_cfg.spk_dim), np.float32)
     done = []
-    for nb in cfg.text_buckets:
-        # one dummy text padded to this bucket (frontend pads via pad_to)
-        text = " " * max(1, nb - 2)
-        out = synth.text_to_latents(
-            [text], None, alpha=alpha, max_frames=mf, t2v_spk_emb=emb
-        )
-        synth.latents_to_wav(out["feat_postnet_output"], spk)
-        done.append(nb)
+    for B in _batch_buckets(max_batch):
+        emb = np.zeros((B, cfg.n_speaker_dim), np.float32)
+        spk = np.zeros((B, synth.v2w_cfg.spk_dim), np.float32)
+        for nb in cfg.text_buckets:
+            # one dummy text padded to this bucket (frontend pads via pad_to)
+            texts = [" " * max(1, nb - 2)] * B
+            out = synth.text_to_latents(
+                texts, None, alpha=alpha, max_frames=mf, t2v_spk_emb=emb
+            )
+            synth.latents_to_wav(out["feat_postnet_output"], spk,
+                                 noise=_serve_noise(synth, B))
+            done.append((B, nb))
     return done
 
 
@@ -176,9 +202,14 @@ def _serve_noise(synth, B: int) -> np.ndarray:
     return np.tile(row, (B, 1))
 
 
-def _synthesize_batch(synth, store, reqs, alpha, max_frames):
+def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
     """One batched synthesis over parsed (spk, text) requests.  Returns
-    ([B, L] wavs, [B] sample counts)."""
+    ([B, L] wavs, [B] sample counts).  ``pad_to`` pads the batch (repeating
+    the last request) to a fixed bucket size so only warmed-up jit shapes
+    run; padded rows are dropped from the result."""
+    n = len(reqs)
+    if pad_to is not None and pad_to > n:
+        reqs = list(reqs) + [reqs[-1]] * (pad_to - n)
     texts = [t for _, t in reqs]
     t2v_embs = np.concatenate(
         [store.t2v_emb_or_fallback(s) for s, _ in reqs], axis=0)
@@ -189,7 +220,7 @@ def _synthesize_batch(synth, store, reqs, alpha, max_frames):
         out["feat_postnet_output"], voc_embs,
         noise=_serve_noise(synth, len(reqs)))
     n_samples = out["total_frames"] * synth.v2w_cfg.total_upsample
-    return wav, n_samples
+    return wav[:n], n_samples[:n]
 
 
 def serve_loop(
@@ -222,8 +253,10 @@ def serve_loop(
             print(line, file=stdout, flush=True)
 
     if do_warmup:
-        buckets = warmup(synth, max_frames=max_frames, alpha=alpha)
+        buckets = warmup(synth, max_frames=max_frames, alpha=alpha,
+                         max_batch=max(1, max_batch))
         say(f"WARM {buckets}")
+    batch_buckets = _batch_buckets(max(1, max_batch))
     if not pcm:
         os.makedirs(out_dir, exist_ok=True)
     default_speaker = default_speaker or (store.speakers() or [None])[0]
@@ -246,9 +279,10 @@ def serve_loop(
             binout.write(b"PCMEND\n")
             binout.flush()
         else:
+            sr = synth.v2w_cfg.sampling_rate
             path = os.path.join(out_dir, f"utt_{n:06d}.wav")
-            write_wav(path, wav[:n_samp])
-            say(f"OK {path} {n_samp / 16000:.2f}s latency={dt_ms:.1f}ms batched={b}")
+            write_wav(path, wav[:n_samp], sample_rate=sr)
+            say(f"OK {path} {n_samp / sr:.2f}s latency={dt_ms:.1f}ms batched={b}")
 
     def respond_stream(latents, spk_emb, total_frames, dt0, b: int):
         """Emit one utterance as PCM chunks (time-to-first-audio path).
@@ -257,17 +291,25 @@ def serve_loop(
         to the true length — zero-padded latents are not equivalent to a
         sequence edge (streaming.py docstring), and the non-streaming path
         also vocodes the padded buffer then trims, so this matches it
-        exactly."""
+        exactly.
+
+        Reported timings are client-perceived, measured from the arrival of
+        the coalesced batch: ``ttfa`` = time to this utterance's first audio
+        bytes, ``latency`` = time to its last (in a batch, both include the
+        streaming of preceding items — what a caller actually waited)."""
         sr = synth.v2w_cfg.sampling_rate
         up = synth.v2w_cfg.total_upsample
         target = int(total_frames) * up
         binout.write(f"PCMSTART {sr} batched={b}\n".encode())
         binout.flush()
         n_samp = 0
+        ttfa_ms = None
         for chunk in sv.stream(latents[None], spk_emb[None],
                                _serve_noise(synth, 1)):
             data = np.clip(chunk[0][: max(0, target - n_samp)], -1, 1)
             if data.shape[0]:
+                if ttfa_ms is None:
+                    ttfa_ms = (time.perf_counter() - dt0) * 1e3
                 pcm16 = (data * 32767.0).astype("<i2").tobytes()
                 binout.write(f"PCMCHUNK {len(pcm16)}\n".encode())
                 binout.write(pcm16)
@@ -277,7 +319,8 @@ def serve_loop(
                 break
         dt_ms = (time.perf_counter() - dt0) * 1e3
         assert n_samp == target
-        binout.write(f"PCMEND {n_samp} latency={dt_ms:.1f}ms\n".encode())
+        binout.write(
+            f"PCMEND {n_samp} latency={dt_ms:.1f}ms ttfa={ttfa_ms:.1f}ms\n".encode())
         binout.flush()
 
     src = _LineSource(stdin)
@@ -310,14 +353,18 @@ def serve_loop(
 
         if reqs:
             t0 = time.perf_counter()
+            # pad coalesced batches to a fixed bucket so only warmed-up jit
+            # shapes run (padded rows repeat the last request, then dropped)
+            bucket = next(b for b in batch_buckets if b >= len(reqs))
             try:
                 if sv is not None:
                     # streaming: latents batched, audio chunked per item
+                    padded = list(reqs) + [reqs[-1]] * (bucket - len(reqs))
                     out = synth.text_to_latents(
-                        [t for _, _, t in reqs], None, alpha=alpha,
+                        [t for _, _, t in padded], None, alpha=alpha,
                         max_frames=max_frames,
                         t2v_spk_emb=np.concatenate(
-                            [store.t2v_emb_or_fallback(s) for _, s, _ in reqs],
+                            [store.t2v_emb_or_fallback(s) for _, s, _ in padded],
                             axis=0),
                     )
                     for j, (slot, spk, _) in enumerate(reqs):
@@ -330,7 +377,7 @@ def serve_loop(
                 else:
                     wavs, n_samples = _synthesize_batch(
                         synth, store, [(s, t) for _, s, t in reqs],
-                        alpha, max_frames)
+                        alpha, max_frames, pad_to=bucket)
                     dt_ms = (time.perf_counter() - t0) * 1e3
                     for j, (slot, _, _) in enumerate(reqs):
                         respond(wavs[j], int(n_samples[j]), n, dt_ms, len(reqs))

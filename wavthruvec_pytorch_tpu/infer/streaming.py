@@ -37,8 +37,13 @@ def conservative_context_frames(cfg: Vec2WavConfig) -> int:
     mapped back through the cumulative upsampling factor."""
     reach = 3.0  # conv_pre k=7 'same'
     up = 1
-    n_res_convs_per_kernel = 2  # effective ResBlock2 (two convs per kernel)
-    dils = [list(d)[:n_res_convs_per_kernel] for d in cfg.resblock_dilation_sizes]
+    if cfg.use_resblock1:
+        # ResBlock1 (vec2wav.py:82): per kernel, convs1 at dilations d[:3]
+        # each chained with a dilation-1 convs2 conv.
+        dils = [list(d)[:3] + [1] * 3 for d in cfg.resblock_dilation_sizes]
+    else:
+        # effective ResBlock2 (two convs per kernel, dilations d[:2])
+        dils = [list(d)[:2] for d in cfg.resblock_dilation_sizes]
     for u, k in zip(cfg.upsample_rates, cfg.upsample_kernel_sizes):
         up *= u
         stage = float(k)  # transposed-conv window (generous)

@@ -21,6 +21,75 @@ from wavthruvec_pytorch_tpu.text import TextFrontend
 from wavthruvec_pytorch_tpu.train.text2vec_train import pad_to_bucket
 
 
+def init_import_models(
+    t2v_cfg: Text2VecConfig,
+    v2w_cfg: Vec2WavConfig,
+    t2v_checkpoint: Optional[str] = None,
+    gen_checkpoint: Optional[str] = None,
+    ref_feat: Optional[np.ndarray] = None,
+    folded: bool = False,
+    fused: bool = False,
+):
+    """Initialize Text2Vec + Generator variable trees and import checkpoints
+    — the shared construction core of the ``synthesize`` and ``serve`` CLIs.
+
+    Checkpoint-type detection is uniform for both models: a DIRECTORY is an
+    orbax checkpoint, a file is a reference torch pickle
+    (``checkpoint_N.pth.tar`` with key ``model`` for Text2Vec,
+    ``g_XXXXXXXX`` with key ``generator`` for the vocoder).
+
+    ``ref_feat``: optional ``[1, T, n_feat_dim]`` reference clip used only to
+    shape the init batch (checkpoints overwrite the values).  Returns
+    ``(t2v, t2v_vars, gen, gen_vars)``; ``folded``/``fused`` configure the
+    Generator's inference-export graph (weight-norm folding is applied to
+    the params when ``folded``).
+    """
+    import os
+
+    from wavthruvec_pytorch_tpu import checkpoint as ckpt
+
+    t2v = Text2Vec(t2v_cfg)
+    gen = Generator(v2w_cfg, folded=folded, fused=fused)
+    rng = jax.random.PRNGKey(0)
+    if ref_feat is None:
+        ref_feat = np.zeros((1, 16, t2v_cfg.n_feat_dim), np.float32)
+    t_ref = ref_feat.shape[1]
+    # init through the train branch -> full param tree for restore
+    t2v_vars = t2v.init(
+        {"params": rng, "dropout": rng},
+        jnp.ones((1, 8), jnp.int32), jnp.arange(1, 9, dtype=jnp.int32)[None],
+        jnp.asarray(ref_feat, jnp.float32),
+        jnp.array([8]), jnp.array([t_ref]),
+        jnp.arange(1, t_ref + 1, dtype=jnp.int32)[None],
+        attn_prior=jnp.ones((1, t_ref, 8)),
+        deterministic=True, train_bn=False,
+    )
+    if t2v_checkpoint:
+        if os.path.isdir(t2v_checkpoint):
+            t2v_vars = ckpt.restore_checkpoint(t2v_checkpoint, t2v_vars)
+        else:
+            sd = ckpt.load_torch_state_dict(t2v_checkpoint, key="model")
+            t2v_vars = ckpt.import_text2vec(sd, t2v_cfg)
+
+    gen_vars = gen.init(
+        rng, jnp.zeros((1, 8, v2w_cfg.n_feat_dim)),
+        jnp.zeros((1, v2w_cfg.spk_dim)), jnp.zeros((1, v2w_cfg.noise_dim)),
+        train=False,
+    )
+    if gen_checkpoint:
+        if os.path.isdir(gen_checkpoint):
+            gen_vars = ckpt.restore_checkpoint(gen_checkpoint, gen_vars)
+        else:
+            sd = ckpt.load_torch_state_dict(gen_checkpoint, key="generator")
+            gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
+    if folded:
+        from wavthruvec_pytorch_tpu.models.vec2wav import fold_weight_norm
+
+        gen_vars = dict(gen_vars)
+        gen_vars["params"] = fold_weight_norm(gen_vars["params"])
+    return t2v, t2v_vars, gen, gen_vars
+
+
 class _F32OutputGenerator:
     """Duck-typed Generator whose ``apply`` casts the waveform to f32.
 

@@ -106,6 +106,19 @@ def process_shard(items, process_index: Optional[int] = None,
     return list(items)[i::n][:per]
 
 
+def globalize_state(tree, mesh: Optional[Mesh]):
+    """Lift a process-local pytree (e.g. a freshly-initialized or restored
+    train state, same values on every host) to global arrays replicated over
+    a multi-process mesh, as the jitted step's replicated ``in_shardings``
+    require.  No-op single-process or without a mesh — so loops can call it
+    unconditionally after init/restore."""
+    if mesh is None or jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, P())
+
+
 def local_batch_size(global_batch_size: int) -> int:
     """Per-host batch size for a global batch (must divide evenly)."""
     n = jax.process_count()

@@ -26,6 +26,7 @@ from wavthruvec_pytorch_tpu.config import Text2VecConfig, save_config
 from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
 from wavthruvec_pytorch_tpu.data.prefetch import prefetched
 from wavthruvec_pytorch_tpu.parallel import (
+    globalize_state,
     local_batch_size,
     maybe_distributed_init,
     mesh_for_batch,
@@ -121,6 +122,9 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
         except Exception as e:
             print(f"\n---Start New Training--- (restore failed: {e})\n")
             iteration = 0
+    # multi-process: lift the host-local state to global replicated arrays
+    # (the jitted step's in_shardings span every process's devices)
+    state = globalize_state(state, mesh)
 
     os.makedirs(cfg.checkpoint_path, exist_ok=True)
     save_config(cfg, os.path.join(cfg.run_path, cfg.log_seed, "config.json"))

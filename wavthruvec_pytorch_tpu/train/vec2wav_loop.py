@@ -33,6 +33,7 @@ from wavthruvec_pytorch_tpu.data.vocoder_data import (
 )
 from wavthruvec_pytorch_tpu.ops.stft import mel_spectrogram
 from wavthruvec_pytorch_tpu.parallel import (
+    globalize_state,
     local_batch_size,
     maybe_distributed_init,
     mesh_for_batch,
@@ -127,6 +128,9 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
         steps = int(state.step) + 1
         last_epoch = steps // max(len(loader), 1)
         print(f"resumed from {cp} at step {steps}")
+    # multi-process: lift the host-local state to global replicated arrays
+    # (the jitted step's in_shardings span every process's devices)
+    state = globalize_state(state, mesh)
 
     save_config(cfg, os.path.join(cfg.run_path, cfg.log_seed, "config.json"))
     logger = host_logger(cfg.tensorboard_logs_path, cfg.logger_path)
