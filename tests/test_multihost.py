@@ -138,3 +138,36 @@ def test_four_process_multistep_and_checkpoint_resume(tmp_path):
     assert set(resume) == set(cont) == {0, 1, 2, 3}
     assert resume[0] == pytest.approx(cont[0], rel=1e-6)
     assert resume[1] == pytest.approx(resume[0], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_production_loop(tmp_path):
+    """The PRODUCTION Text2Vec loop (text2vec_loop.main) runs multi-process
+    end-to-end: maybe_distributed_init from env vars, per-host buffer
+    sharding, global-batch assembly, and the loop's globalize_state lift of
+    the host-local train state onto the multi-process mesh (the step the
+    direct-step worker used to do by hand)."""
+    num_procs, max_steps = 2, 3
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_loop_worker.py")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(num_procs), str(i),
+             os.path.join(root, "data", "demo"), str(tmp_path), str(max_steps)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            cwd=root,
+        )
+        for i in range(num_procs)
+    ]
+    done = {}
+    for p in procs:
+        out, err = p.communicate(timeout=2400)  # 1-CPU boxes compile slowly
+        assert p.returncode == 0, f"loop worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("LOOPHOST_DONE"):
+                _, pid, step_n = line.split()
+                done[int(pid)] = int(step_n)
+    assert done == {0: max_steps, 1: max_steps}

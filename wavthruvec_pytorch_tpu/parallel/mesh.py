@@ -27,8 +27,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_distributed_init() -> None:
     """Initialize jax.distributed when launched as a multi-process job
-    (replaces init_process_group; no-op single-process)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    (replaces init_process_group; no-op single-process).
+
+    On managed clusters (SLURM / MPI / TPU pods) jax auto-detects the
+    topology, so ``JAX_COORDINATOR_ADDRESS`` alone suffices.  Bare-metal
+    launches (e.g. two plain processes on CPU hosts) have no detector —
+    there ``JAX_NUM_PROCESSES`` and ``JAX_PROCESS_ID`` must be set too and
+    are passed through explicitly."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr or jax.distributed.is_initialized():
+        return
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    i = os.environ.get("JAX_PROCESS_ID")
+    if n is not None and i is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(n), process_id=int(i)
+        )
+    else:
         jax.distributed.initialize()
 
 
