@@ -22,6 +22,7 @@ module names, then restoring everything.
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import math
 import os
@@ -143,6 +144,12 @@ def _install_torchaudio_shim() -> None:
     transforms = types.ModuleType("torchaudio.transforms")
     transforms.MelSpectrogram = _MelSpectrogram
     fake.transforms = transforms
+    # a real ModuleSpec so importlib.util.find_spec("torchaudio") — which
+    # third-party libs (transformers) call to probe availability — does not
+    # raise ValueError on the shim
+    fake.__spec__ = importlib.machinery.ModuleSpec("torchaudio", None)
+    transforms.__spec__ = importlib.machinery.ModuleSpec(
+        "torchaudio.transforms", None)
     sys.modules["torchaudio"] = fake
     sys.modules["torchaudio.transforms"] = transforms
 
