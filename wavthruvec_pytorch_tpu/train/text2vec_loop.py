@@ -42,20 +42,18 @@ def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
-def compute_validation_loss(model, cfg, state, val_loader, logger, iteration):
-    """Eval-mode forward + losses over the val set (reference:
-    text2vec/train.py:80-196 — defined there, call commented out)."""
+def make_val_fn(model):
+    """Jitted eval-mode forward + losses (one dispatch per val batch; the
+    eager per-op path costs minutes per validation through a TPU tunnel)."""
     from wavthruvec_pytorch_tpu.models.losses import (
         attention_binarization_loss,
         dnn_loss,
     )
 
-    totals, n = {}, 0
-    for batch in val_loader.epoch():
-        batch.pop("audiopaths", None)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    @jax.jit
+    def val_fn(params, batch_stats, batch):
         outputs = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": batch_stats},
             batch["text"], batch["src_pos"], batch["feat_target"],
             batch["input_lengths"], batch["output_lengths"], batch["feat_pos"],
             attn_prior=batch["attn_prior"], deterministic=True, train_bn=False,
@@ -66,8 +64,24 @@ def compute_validation_loss(model, cfg, state, val_loader, logger, iteration):
             outputs["duration"],
         )
         b = attention_binarization_loss(outputs["attn"], outputs["attn_soft"])
-        for k, v in [("WVF_loss", w), ("WVF_postnet_loss", p),
-                     ("duration_loss", d), ("binarization_loss", b)]:
+        return {"WVF_loss": w, "WVF_postnet_loss": p,
+                "duration_loss": d, "binarization_loss": b}
+
+    return val_fn
+
+
+def compute_validation_loss(model, cfg, state, val_loader, logger, iteration,
+                            val_fn=None):
+    """Eval-mode forward + losses over the val set (reference:
+    text2vec/train.py:80-196 — defined there, call commented out)."""
+    if val_fn is None:
+        val_fn = make_val_fn(model)
+    totals, n = {}, 0
+    for batch in val_loader.epoch():
+        batch.pop("audiopaths", None)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        losses = val_fn(state.params, state.batch_stats, batch)
+        for k, v in losses.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         n += 1
     if n:
@@ -147,6 +161,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
             val_loader = BucketedLoader(
                 val_buffer, val_cfg, seed=args.seed, shuffle=False
             )
+            val_fn = make_val_fn(model)
             if len(val_loader) == 0:
                 print(f"validation set too small for batch {cfg.batch_size}")
         else:
@@ -218,7 +233,8 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
 
             if val_loader is not None and iteration % cfg.val_step == 0:
                 vals = compute_validation_loss(
-                    model, cfg, state, val_loader, logger, iteration
+                    model, cfg, state, val_loader, logger, iteration,
+                    val_fn=val_fn,
                 )
                 logger.text(
                     f"Validation at step {iteration}: "
