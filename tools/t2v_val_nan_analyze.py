@@ -113,7 +113,8 @@ def main():
     print("\n--- non-finite intermediates (module call order not guaranteed;"
           " sorted by path) ---")
     for key, vals in flat.items():
-        for v in (vals if isinstance(vals, tuple) else (vals,)):
+        # a module may return tuples/dicts of arrays — walk the leaves
+        for v in jax.tree_util.tree_leaves(vals):
             arr = np.asarray(v)
             if arr.dtype.kind == "f" and not np.isfinite(arr).all():
                 n_bad = int(np.size(arr) - np.isfinite(arr).sum())

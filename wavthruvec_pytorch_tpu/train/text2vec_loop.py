@@ -73,21 +73,43 @@ def make_val_fn(model):
 def compute_validation_loss(model, cfg, state, val_loader, logger, iteration,
                             val_fn=None):
     """Eval-mode forward + losses over the val set (reference:
-    text2vec/train.py:80-196 — defined there, call commented out)."""
+    text2vec/train.py:80-196 — defined there, call commented out).
+
+    Averages over FINITE batches and reports non-finite ones separately
+    (``val/nonfinite_batches``) instead of letting one bad batch poison the
+    epoch mean.  A batch can go non-finite with perfectly healthy training:
+    eval-mode BatchNorm runs on running statistics, and LAMB grows the
+    scale-invariant pre-BN conv weights (train-mode BN renormalizes each
+    batch, so the loss never sees the growth) until an outlier item's
+    activations amplify through the ECAPA Res2Net trunk and overflow f32 —
+    observed on the demo corpus, mechanism documented in BENCH_NOTES.md;
+    the reference's torch eval path has the same fragility."""
+    import math
+
     if val_fn is None:
         val_fn = make_val_fn(model)
-    totals, n = {}, 0
+    totals, n, bad = {}, 0, 0
     for batch in val_loader.epoch():
         batch.pop("audiopaths", None)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        losses = val_fn(state.params, state.batch_stats, batch)
-        for k, v in losses.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
-        n += 1
+        losses = {k: float(v)
+                  for k, v in val_fn(state.params, state.batch_stats, batch).items()}
+        if all(math.isfinite(v) for v in losses.values()):
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + v
+            n += 1
+        else:
+            bad += 1
     if n:
         for k, v in totals.items():
             logger.add_scalar(f"val/{k}", v / n, iteration)
-    return {k: v / max(n, 1) for k, v in totals.items()}
+    logger.add_scalar("val/nonfinite_batches", bad, iteration)
+    if bad:
+        print(f"validation: {bad} non-finite batch(es) at step {iteration} "
+              "(eval-mode BN overflow — see compute_validation_loss docstring)")
+    out = {k: v / max(n, 1) for k, v in totals.items()}
+    out["nonfinite_batches"] = bad
+    return out
 
 
 def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig] = None):
