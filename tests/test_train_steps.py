@@ -137,7 +137,13 @@ def test_v2w_gan_step_runs_and_learns():
 @pytest.mark.slow
 def test_v2w_gan_step_sharded_mesh():
     cfg = _tiny_v2w_cfg()
-    mesh = create_mesh()
+    # 2-device mesh, not all 8: the virtual CPU devices time-share ONE core
+    # in CI, and XLA's intra-process collective rendezvous hard-kills the
+    # process when inter-device skew exceeds 40 s — with 8 emulated devices
+    # running this step serially, the last arriver can blow that deadline.
+    # Sharding semantics (psum'd grads, per-device batch shards) are
+    # identical on 2 devices.
+    mesh = create_mesh(2)
     batch = _v2w_synth_batch(cfg, B=8)
     models, state = v2w.init_state(cfg, jax.random.PRNGKey(0), batch)
     step, _ = v2w.make_train_step(models, cfg, mesh=mesh)
