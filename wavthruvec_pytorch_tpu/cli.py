@@ -9,6 +9,7 @@ prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
     python -m wavthruvec_pytorch_tpu.cli synthesize     --text "..." [...]
     python -m wavthruvec_pytorch_tpu.cli make-demo-data [--root ./data/demo]
     python -m wavthruvec_pytorch_tpu.cli serve          --spk_emb_dir ... (stdin loop)
+    python -m wavthruvec_pytorch_tpu.cli export-torch   --stage t2v|v2w --checkpoint ...
 """
 
 from __future__ import annotations
@@ -61,8 +62,76 @@ def main(argv=None):
         return _make_demo_data(rest)
     if cmd == "serve":
         return _serve(rest)
+    if cmd == "export-torch":
+        return _export_torch(rest)
     print(f"unknown command: {cmd}\n{__doc__}")
     return 1
+
+
+def _export_torch(rest):
+    """Export a native (orbax) training checkpoint into the reference's
+    torch formats — the inverse of the torch importers, so TPU-trained
+    weights can be consumed by reference tooling:
+
+    * t2v: ``checkpoint_{step}.pth.tar`` = {model, optimizer, learning_rate,
+      epoch} (reference text2vec/train.py:426-432).  The ECAPA
+      ``torchfbank.*`` buffers are init-time constants the reference module
+      recreates; load with ``model.load_state_dict(sd, strict=False)``.
+    * v2w: ``g_{step:08d}`` {generator} + ``do_{step:08d}``
+      {mpd, msd, optim_g, optim_d, steps, epoch}
+      (reference vec2wav/train.py:227-238); both load strict.
+
+    Optimizer moments are native optax state and are not translated; the
+    exported optimizer dicts carry the param_groups (with lr) and empty
+    state, which torch restores as a fresh optimizer at that lr."""
+    from wavthruvec_pytorch_tpu import checkpoint as ckpt
+    from wavthruvec_pytorch_tpu.config import (
+        Text2VecConfig,
+        Vec2WavConfig,
+        load_config,
+    )
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", required=True, choices=("t2v", "v2w"))
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir (t2v: .../checkpoint_{step}; "
+                   "v2w: .../state_{step:08d})")
+    p.add_argument("--config", default="", help="stage config JSON")
+    p.add_argument("--out", default="",
+                   help="t2v: output file (default checkpoint_{step}.pth.tar "
+                   "next to the input); v2w: output dir (default the input's "
+                   "parent)")
+    p.add_argument("--step", type=int, default=-1,
+                   help="step for the output name (default: parsed from the "
+                   "checkpoint name)")
+    a = p.parse_args(rest)
+
+    raw = ckpt.restore_checkpoint(a.checkpoint, target=None)
+    step = a.step if a.step >= 0 else max(ckpt.checkpoint_step(a.checkpoint), 0)
+    if a.stage == "t2v":
+        cfg = load_config(Text2VecConfig, a.config) if a.config else Text2VecConfig()
+        out = a.out or os.path.join(
+            os.path.dirname(os.path.abspath(a.checkpoint)),
+            f"checkpoint_{step}.pth.tar")
+        variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+        ckpt.save_reference_text2vec(
+            out, variables, cfg, epoch=int(raw.get("epoch", 0) or 0))
+        print(f"wrote {out}")
+    else:
+        cfg = load_config(Vec2WavConfig, a.config) if a.config else Vec2WavConfig()
+        out_dir = a.out or os.path.dirname(os.path.abspath(a.checkpoint))
+        gen_vars = {
+            "params": raw["gen_params"],
+            "batch_stats": raw["gen_batch_stats"],
+            "spectral": raw["gen_spectral"],
+        }
+        mpd_vars = {"params": raw["disc_params"]["mpd"]}
+        msd_vars = {"params": raw["disc_params"]["msd"],
+                    "spectral": raw["msd_spectral"]}
+        ckpt.save_reference_vec2wav(
+            out_dir, step, gen_vars, cfg, mpd_vars=mpd_vars, msd_vars=msd_vars)
+        print(f"wrote {out_dir}/g_{step:08d} and {out_dir}/do_{step:08d}")
+    return 0
 
 
 def _serve(rest):
