@@ -9,6 +9,7 @@ prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
     python -m wavthruvec_pytorch_tpu.cli synthesize     --text "..." [...]
     python -m wavthruvec_pytorch_tpu.cli make-demo-data [--root ./data/demo]
     python -m wavthruvec_pytorch_tpu.cli serve          --spk_emb_dir ... (stdin loop)
+    python -m wavthruvec_pytorch_tpu.cli serve-http     --spk_emb_dir ... [--port 8571]
     python -m wavthruvec_pytorch_tpu.cli export-torch   --stage t2v|v2w --checkpoint ...
 """
 
@@ -62,6 +63,8 @@ def main(argv=None):
         return _make_demo_data(rest)
     if cmd == "serve":
         return _serve(rest)
+    if cmd == "serve-http":
+        return _serve_http(rest)
     if cmd == "export-torch":
         return _export_torch(rest)
     print(f"unknown command: {cmd}\n{__doc__}")
@@ -134,13 +137,9 @@ def _export_torch(rest):
     return 0
 
 
-def _serve(rest):
-    """Long-running stdin->wav synthesis loop (infer/serve.py)."""
-    from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig
-    from wavthruvec_pytorch_tpu.infer.serve import SpeakerStore, serve_loop
-    from wavthruvec_pytorch_tpu.infer.synthesize import Synthesizer
-    from wavthruvec_pytorch_tpu.text import TextFrontend
-
+def _serving_parser():
+    """Flags shared by the stdin (``serve``) and HTTP (``serve-http``)
+    serving front ends."""
     p = argparse.ArgumentParser()
     p.add_argument("--spk_emb_dir", required=True)
     p.add_argument("--ref_feat_dir", default=None,
@@ -176,11 +175,26 @@ def _serve(rest):
                    help="CBHG biGRU recurrence: pallas keeps the hidden "
                    "weights VMEM-resident across steps (TPU; bf16-default-"
                    "precision numerics)")
-    a = p.parse_args(rest)
+    return p
 
+
+def _build_serving_stack(a):
+    """(synth, store) from parsed serving flags — shared model construction
+    for both serving front ends."""
     import dataclasses
 
-    from wavthruvec_pytorch_tpu.config import load_config
+    from wavthruvec_pytorch_tpu.config import (
+        Text2VecConfig,
+        Vec2WavConfig,
+        load_config,
+    )
+    from wavthruvec_pytorch_tpu.infer.serve import SpeakerStore
+    from wavthruvec_pytorch_tpu.infer.synthesize import (
+        Synthesizer,
+        init_import_models,
+        make_serving_generator,
+    )
+    from wavthruvec_pytorch_tpu.text import TextFrontend
 
     t2v_cfg = (load_config(Text2VecConfig, a.t2v_config) if a.t2v_config
                else Text2VecConfig().with_vocab_from_file(a.vocab_path))
@@ -190,10 +204,6 @@ def _serve(rest):
                else Vec2WavConfig())
     frontend = TextFrontend.from_vocab_file(
         a.t2v_config and t2v_cfg.vocab_path or a.vocab_path)
-    from wavthruvec_pytorch_tpu.infer.synthesize import (
-        init_import_models,
-        make_serving_generator,
-    )
 
     _, t2v_vars, gen, gen_vars = init_import_models(
         t2v_cfg, v2w_cfg,
@@ -203,6 +213,15 @@ def _serve(rest):
     gen, gen_vars = make_serving_generator(v2w_cfg, gen_vars, a.gen_precision)
     synth = Synthesizer(t2v_cfg, v2w_cfg, t2v_vars, gen_vars, frontend, gen=gen)
     store = SpeakerStore(synth, a.spk_emb_dir, a.ref_feat_dir)
+    return synth, store
+
+
+def _serve(rest):
+    """Long-running stdin->wav synthesis loop (infer/serve.py)."""
+    from wavthruvec_pytorch_tpu.infer.serve import serve_loop
+
+    a = _serving_parser().parse_args(rest)
+    synth, store = _build_serving_stack(a)
     n = serve_loop(
         synth, store, a.out_dir, default_speaker=a.speaker, alpha=a.alpha,
         max_frames=a.max_frames or None, do_warmup=a.warmup,
@@ -210,6 +229,33 @@ def _serve(rest):
         stream_chunk=a.stream_chunk or None,
     )
     print(f"served {n} requests", file=sys.stderr if a.pcm else sys.stdout)
+    return 0
+
+
+def _serve_http(rest):
+    """HTTP synthesis server (infer/http_serve.py): POST /synthesize
+    {"text", "speaker"?} -> audio/wav; queued requests coalesce into batched
+    synthesis calls up to --max_batch."""
+    from wavthruvec_pytorch_tpu.infer.http_serve import serve_http
+
+    p = _serving_parser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    a = p.parse_args(rest)
+    synth, store = _build_serving_stack(a)
+
+    def ready(server, service):
+        host, port = server.server_address[:2]
+        print(f"serving on http://{host}:{port} "
+              f"(speakers={len(store.speakers())}, max_batch={a.max_batch})",
+              flush=True)
+
+    n = serve_http(
+        synth, store, host=a.host, port=a.port, default_speaker=a.speaker,
+        alpha=a.alpha, max_frames=a.max_frames or None, max_batch=a.max_batch,
+        do_warmup=a.warmup, ready_cb=ready,
+    )
+    print(f"served {n} requests")
     return 0
 
 
