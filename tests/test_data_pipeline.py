@@ -167,6 +167,62 @@ def test_vocoder_dataset_and_gan_step(v2w_disk_dataset):
     assert np.isfinite(float(metrics["gen_loss_total"]))
 
 
+def test_vocoder_dataset_fine_tuning_branch(v2w_disk_dataset, tmp_path):
+    """Fine-tuning mode (reference vec2wav/dataset.py:158-175): audio is NOT
+    peak-normalized, precomputed mels come from ``base_mels_path``, and the
+    split path windows (mel, audio) at hop granularity while wv_feat stays
+    full length (the reference's exact — broken-for-training — pairing; our
+    trainable windowed mode is the non-fine-tuning feature-space one)."""
+    cfg = v2w_disk_dataset
+    from wavthruvec_pytorch_tpu.data.vocoder_data import (
+        VocoderDataset,
+        get_dataset_filelist,
+        mel_spectrogram_np,
+    )
+
+    train_files, _ = get_dataset_filelist(
+        cfg.input_training_file, cfg.input_validation_file
+    )
+    # precomputed mels keyed by utterance basename (dataset.py:169-170)
+    rng = np.random.default_rng(3)
+    mels_dir = tmp_path / "gta_mels"
+    mels_dir.mkdir()
+    for f in train_files:
+        base = os.path.splitext(os.path.basename(f))[0]
+        # GTA mels cover the utterance: frames = samples / hop
+        t_feat = np.load(os.path.join(cfg.feat_ground_truth, f)).shape[1]
+        t = t_feat * cfg.total_upsample // cfg.hop_size
+        np.save(mels_dir / f"{base}.npy",
+                rng.standard_normal((t, cfg.num_mels)).astype(np.float32))
+
+    ds = VocoderDataset(train_files, cfg, fine_tuning=True,
+                        base_mels_path=str(mels_dir), split=False)
+    item = ds[0]
+    # un-normalized audio: the fixture wavs are int16/32768 scaled, peak well
+    # below the 0.95 the normalizing branch would force
+    assert np.abs(item["audio"]).max() < 0.5
+    assert item["wv_feat"].shape[1] == cfg.n_feat_dim
+    # mel_loss recomputed from the (unwindowed) audio
+    ref_mel = mel_spectrogram_np(
+        item["audio"], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+        cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss)
+    np.testing.assert_allclose(item["mel_loss"], ref_mel, atol=1e-5)
+
+    # split branch with a segment shorter than the fixture utterances so the
+    # true random-window path runs: audio window = frames_per_seg * hop_size
+    import math
+
+    wcfg = dataclasses.replace(cfg, segment_size=64)
+    ds_split = VocoderDataset(train_files, wcfg, fine_tuning=True,
+                              base_mels_path=str(mels_dir), split=True)
+    frames_per_seg = math.ceil(wcfg.segment_size / wcfg.hop_size)
+    it = ds_split[0]
+    full = ds[0]
+    assert len(it["audio"]) == frames_per_seg * wcfg.hop_size
+    # wv_feat stays full length (reference pairing)
+    assert it["wv_feat"].shape[0] == full["wv_feat"].shape[0]
+
+
 def test_host_mel_matches_device_mel(v2w_disk_dataset):
     cfg = v2w_disk_dataset
     from wavthruvec_pytorch_tpu.data.vocoder_data import mel_spectrogram_np

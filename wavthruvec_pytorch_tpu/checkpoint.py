@@ -123,6 +123,16 @@ def _lin_w(w):  # torch Linear [out, in] -> (in, out)
     return np.transpose(w)
 
 
+def _bn(sd, prefix, params, stats, dst, affine=True):
+    """torch BatchNorm1d -> flax BN (used by the SpeechBrain importer; the
+    reference-model specs below carry the same mapping as 'bn' entries)."""
+    if affine:
+        _nested_set(params, f"{dst}/BatchNorm_0/scale", sd[f"{prefix}.weight"])
+        _nested_set(params, f"{dst}/BatchNorm_0/bias", sd[f"{prefix}.bias"])
+    _nested_set(stats, f"{dst}/BatchNorm_0/mean", sd[f"{prefix}.running_mean"])
+    _nested_set(stats, f"{dst}/BatchNorm_0/var", sd[f"{prefix}.running_var"])
+
+
 # inverse layout transforms (flax -> torch)
 def _inv_conv_w(w):
     return np.transpose(w, (2, 1, 0))
