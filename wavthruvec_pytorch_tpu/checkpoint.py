@@ -1,5 +1,7 @@
-"""Checkpointing: orbax for native state, plus a torch-pickle importer that
-maps reference PyTorch checkpoints onto our flax trees (parity requirement).
+"""Checkpointing: orbax for native state, plus torch-pickle translation in
+BOTH directions — importers mapping reference PyTorch checkpoints onto our
+flax trees (parity requirement), and exporters writing our trees back into
+the reference's file formats (``save_reference_*``, CLI ``export-torch``).
 
 Reference formats:
 * Text2Vec: ``checkpoint_{iter}.pth.tar`` = {model, optimizer, learning_rate,
