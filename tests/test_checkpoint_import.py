@@ -187,3 +187,10 @@ def test_scan_checkpoint_numeric_order(tmp_path):
         os.makedirs(tmp_path / n)
     assert scan_checkpoint(str(tmp_path), "checkpoint_").endswith("checkpoint_1200")
     assert scan_checkpoint(str(tmp_path), "nope_") is None
+
+    # an interrupted orbax save leaves *.orbax-checkpoint-tmp — auto-resume
+    # must never pick it up (restore on it raises), even when newest/only
+    os.makedirs(tmp_path / "checkpoint_9999.orbax-checkpoint-tmp")
+    assert scan_checkpoint(str(tmp_path), "checkpoint_").endswith("checkpoint_1200")
+    os.makedirs(tmp_path / "state_00000300.orbax-checkpoint-tmp")
+    assert scan_checkpoint(str(tmp_path), "state_") is None

@@ -165,6 +165,73 @@ def test_v2w_gan_step_single():
     assert int(state.step) == 1
 
 
+def test_v2w_device_mel_target_matches_host_path():
+    """``device_mel_target`` computes the mel-loss target in-graph from the
+    batch audio.  On uniform-length windows (the supported mode — the
+    dataset guard enforces split=True) the step must match the host-mel
+    path exactly: same losses, same updated params, because the in-graph op
+    is the host op's twin and there is no padding boundary."""
+    import dataclasses
+
+    from wavthruvec_pytorch_tpu.data.vocoder_data import (
+        mel_spectrogram_np,
+        pad_vocoder_batch,
+    )
+
+    cfg = _tiny_v2w_cfg()
+    rng = np.random.default_rng(5)
+    T = 8
+    items = []
+    for i in range(3):  # uniform window lengths, as the split loader emits
+        audio = (rng.standard_normal(T * cfg.total_upsample) * 0.1).astype(np.float32)
+        items.append({
+            "wv_feat": rng.standard_normal((T, cfg.n_feat_dim)).astype(np.float32),
+            "spk_emb": rng.standard_normal(cfg.spk_dim).astype(np.float32),
+            "audio": audio,
+            "filename": f"u{i}",
+        })
+
+    host_items = [
+        dict(it, mel_loss=mel_spectrogram_np(
+            it["audio"], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+            cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss))
+        for it in items
+    ]
+    batch_host = pad_vocoder_batch(host_items, cfg, frame_pad=T)
+    batch_dev = pad_vocoder_batch(items, cfg, frame_pad=T)
+    assert "mel_frames" in batch_dev and "mel_loss" not in batch_dev
+    batch_host.pop("filenames")
+    batch_dev.pop("filenames")
+    batch_host = {k: jnp.asarray(v) for k, v in batch_host.items()}
+    batch_dev = {k: jnp.asarray(v) for k, v in batch_dev.items()}
+
+    cfg_dev = dataclasses.replace(cfg, device_mel_target=True)
+    models, state0 = v2w.init_state(cfg, jax.random.PRNGKey(0), batch_host)
+    step_host, _ = v2w.make_train_step(models, cfg)
+    step_dev, _ = v2w.make_train_step(models, cfg_dev)
+
+    s_host, m_host = step_host(state0, batch_host, jax.random.PRNGKey(1))
+    # state0 was donated by the first jitted call; rebuild it identically
+    _, state0b = v2w.init_state(cfg, jax.random.PRNGKey(0), batch_host)
+    s_dev, m_dev = step_dev(state0b, batch_dev, jax.random.PRNGKey(1))
+
+    for k in m_host:
+        assert float(m_host[k]) == pytest.approx(float(m_dev[k]), abs=2e-4), k
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(s_host.gen_params)[0],
+        jax.tree_util.tree_flatten_with_path(s_dev.gen_params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=1e-5, rtol=1e-4,
+            err_msg=str(pa))
+
+    # the guard: full-utterance mode must refuse the device target
+    from wavthruvec_pytorch_tpu.data.vocoder_data import VocoderDataset
+
+    with pytest.raises(ValueError, match="split=True"):
+        VocoderDataset([], cfg_dev, split=False)
+
+
 def test_v2w_lr_decay():
     cfg = _tiny_v2w_cfg()
     batch = _v2w_synth_batch(cfg, B=2)

@@ -63,9 +63,14 @@ def scan_checkpoint(cp_dir: str, prefix: str) -> Optional[str]:
 
     Sorted by STEP NUMBER, not lexically — the reference zero-pads its
     names so lexical order coincides, but t2v checkpoints
-    (``checkpoint_1200``) do not."""
+    (``checkpoint_1200``) do not.  Entries without a trailing step number
+    are skipped — notably orbax's ``*.orbax-checkpoint-tmp`` leftovers from
+    an interrupted save, which must not be picked up by auto-resume."""
     pattern = os.path.join(cp_dir, prefix + "*")
-    paths = sorted(glob.glob(pattern), key=checkpoint_step)
+    paths = sorted(
+        (p for p in glob.glob(pattern) if checkpoint_step(p) >= 0),
+        key=checkpoint_step,
+    )
     return paths[-1] if paths else None
 
 

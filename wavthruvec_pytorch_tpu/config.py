@@ -223,6 +223,15 @@ class Vec2WavConfig:
     # Math-identical for the convs; spectral-norm power iteration advances
     # once per step instead of twice (see PARITY.md).
     disc_pair_batched: bool = True
+    # compute the mel-loss TARGET inside the jitted train step from the
+    # batch audio instead of per-item on the host (reference computes it in
+    # its Dataset, vec2wav/dataset.py:177-179).  For windowed (split=True)
+    # training, where windows are uniform-length: there the device target is
+    # numerically identical to the host op AND the host mel is the loader's
+    # dominant un-cacheable cost (random windows defeat the item cache) —
+    # on few-core hosts this is the difference between loader-bound and
+    # compute-bound steps.
+    device_mel_target: bool = False
 
     @property
     def tensorboard_logs_path(self) -> str:

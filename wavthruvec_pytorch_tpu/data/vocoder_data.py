@@ -123,12 +123,31 @@ class VocoderDataset:
         seed: int = 1234,
         npy_loader=None,
         cache_budget_bytes: int = 4 << 30,
+        compute_mel: Optional[bool] = None,
     ):
         self.files = list(files)
         self.cfg = cfg
         self.fine_tuning = fine_tuning
         self.base_mels_path = base_mels_path
         self.split = cfg.split if split is None else split
+        # device_mel_target moves the mel-loss target into the jitted step;
+        # the loader then skips the host mel entirely (validation datasets
+        # pass compute_mel=True — their mel use is host-side)
+        self.compute_mel = (
+            not getattr(cfg, "device_mel_target", False)
+            if compute_mel is None else compute_mel
+        )
+        if not self.compute_mel and not self.split:
+            # the device target is exact only when item length == batch
+            # length (the host op reflect-pads at each ITEM's boundary; the
+            # in-graph op sees batch zero-padding there) — guaranteed in
+            # windowed mode, where it also matters: windows are random per
+            # epoch so the host mel cannot be item-cached.  Full-utterance
+            # mode caches the host mel from epoch 2 — keep it there.
+            raise ValueError(
+                "device_mel_target requires windowed training (split=True); "
+                "full-utterance mode keeps the (cached) host mel target"
+            )
         self.rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()
         self.load_npy = npy_loader or np.load
@@ -253,25 +272,24 @@ class VocoderDataset:
                     mel = np.pad(mel, ((0, frames_per_seg - mel.shape[0]), (0, 0)))
                     audio = np.pad(audio, (0, cfg.segment_size - len(audio)))
 
-        mel_loss = mel_spectrogram_np(
-            audio, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
-            cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
-        )
         spk_emb = self._load_spk(spk)
         item = {
             "wv_feat": wv_feat,  # [T, 1024]
             "spk_emb": spk_emb,  # [192]
             "audio": audio,  # [L]
-            "mel_loss": mel_loss,  # [F, 80]
             "filename": filename,
         }
+        nbytes = wv_feat.nbytes + audio.nbytes
+        if self.compute_mel:
+            item["mel_loss"] = mel_spectrogram_np(
+                audio, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+                cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
+            )  # [F, 80]
+            nbytes += item["mel_loss"].nbytes
         if not self.split:
             # full-utterance mode is deterministic: cache the whole item
             # (wav read + host mel + feat read all skipped from epoch 2 on)
-            self._cache_put(
-                self._item_cache, index, item,
-                wv_feat.nbytes + mel_loss.nbytes + audio.nbytes,
-            )
+            self._cache_put(self._item_cache, index, item, nbytes)
         return item
 
 
@@ -288,27 +306,42 @@ def pad_vocoder_batch(
     L = T * cfg.total_upsample
     n_mel_frames = L // cfg.hop_size
 
+    with_mel = "mel_loss" in items[0]
     wv = np.zeros((B, T, cfg.n_feat_dim), np.float32)
     audio = np.zeros((B, L, 1), np.float32)
     mel = np.zeros((B, n_mel_frames, cfg.num_mels), np.float32)
+    mel_frames = np.zeros((B,), np.int32)
     spk = np.zeros((B, cfg.spk_dim), np.float32)
     names = []
+    pad = (cfg.n_fft - cfg.hop_size) // 2
     for i, it in enumerate(items):
         t = min(it["wv_feat"].shape[0], T)
         wv[i, :t] = it["wv_feat"][:t]
         a = it["audio"][: L]
         audio[i, : len(a), 0] = a
-        m = it["mel_loss"][: n_mel_frames]
-        mel[i, : m.shape[0]] = m
+        if with_mel:
+            m = it["mel_loss"][: n_mel_frames]
+            mel[i, : m.shape[0]] = m
+        else:
+            # frames the host mel op would produce for this length (its
+            # reflect pad is `pad` per side): the device-mel path masks the
+            # target beyond this, matching the host path's zero padding
+            mel_frames[i] = np.clip(
+                (len(a) + 2 * pad - cfg.n_fft) // cfg.hop_size + 1,
+                0, n_mel_frames)
         spk[i] = it["spk_emb"]
         names.append(it["filename"])
-    return {
+    out = {
         "wv_feat": wv,
         "spk_emb": spk,
         "audio": audio,
-        "mel_loss": mel,
         "filenames": names,
     }
+    if with_mel:
+        out["mel_loss"] = mel
+    else:
+        out["mel_frames"] = mel_frames
+    return out
 
 
 class VocoderLoader:

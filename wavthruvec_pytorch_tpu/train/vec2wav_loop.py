@@ -107,6 +107,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
     validset = VocoderDataset(
         validation_files, cfg, fine_tuning=args.fine_tuning,
         base_mels_path=args.input_mels_dir, split=False,
+        compute_mel=True,  # validation compares mels on the host
     )
 
     mesh = mesh_for_batch(cfg.batch_size)

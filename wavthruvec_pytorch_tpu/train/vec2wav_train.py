@@ -146,9 +146,23 @@ def train_step(
     rng: jax.Array,
 ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
     """batch: wv_feat [B,T,C], spk_emb [B,192], audio [B,T*320,1] (zero-padded),
-    mel_loss [B,F,80] (host-computed per-item log-mel, zero-padded)."""
+    and either mel_loss [B,F,80] (host-computed per-item log-mel,
+    zero-padded) or — with ``cfg.device_mel_target`` — mel_frames [B] and the
+    target is computed here, in-graph, from the batch audio (masked beyond
+    each item's frames to reproduce the host path's zero padding)."""
     noise = jax.random.normal(rng, (batch["wv_feat"].shape[0], cfg.noise_dim))
     y = batch["audio"]
+
+    if cfg.device_mel_target:
+        mel_t = mel_spectrogram(
+            y[..., 0], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+            cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
+        )  # [B, M, F]
+        mel_t = jnp.transpose(mel_t, (0, 2, 1))  # [B, F, M]
+        valid = (
+            jnp.arange(mel_t.shape[1])[None, :] < batch["mel_frames"][:, None]
+        )
+        batch = dict(batch, mel_loss=mel_t * valid[..., None])
 
     # --- generator forward (value for the D step) ---
     y_hat, _ = _gen_forward(
@@ -266,7 +280,7 @@ def make_train_step(
         "wv_feat": data,
         "spk_emb": data,
         "audio": data,
-        "mel_loss": data,
+        ("mel_frames" if cfg.device_mel_target else "mel_loss"): data,
     }
     jitted = jax.jit(
         step_fn,
