@@ -423,6 +423,12 @@ def _apply_export(variables: Any, spec: Spec) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _import_ecapa(sd, src, params, stats, dst) -> None:
+    """Standalone ECAPA import (used by the ECAPA-only parity tests and any
+    caller mapping a bare ECAPA_TDNN state dict)."""
+    _apply_import(sd, _ecapa_spec(src, dst), params, stats, {})
+
+
 # ---- import entry points ---------------------------------------------------
 
 def import_text2vec(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
