@@ -14,8 +14,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Timing methodology (axon runtime quirks):
 * ``block_until_ready`` does not actually block here, so every timed call
   returns a SCALAR from the jitted program and is forced with a host fetch;
-* per-call dispatch+fetch overhead is measured with a null jitted program
-  and subtracted;
+* calls are timed as a CHAIN of queued dispatches (each scalar folded into
+  a device accumulator) with one final fetch, so the +-5 ms per-call fetch
+  drift is amortized; the same chain over a null program is subtracted
+  (submit cost);
 * fori_loop-wrapping large model graphs explodes this compiler's time, so
   iterations are separate dispatches of one compiled program with varying
   inputs (no result caching exists across dispatches);
@@ -57,6 +59,27 @@ def _median_time(fn, args_list, warmup=3):
         float(fn(a))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def _chained_time(fn, args_list, warmup=3):
+    """Per-call time over a chain of dispatches with ONE final fetch.
+
+    Each call's scalar is folded into an accumulator on device, so the host
+    queues work without round-tripping per call — the reliable methodology
+    for this runtime (BENCH_NOTES "Timing methodology correction"): per-call
+    fetch latency drifts +-5 ms and would otherwise be charged to the model.
+    The final float() forces the whole chain."""
+    for a in args_list[:warmup]:
+        s = fn(a)
+        float(s + s)  # also warm the scalar-accumulate program
+    chain = args_list[warmup:]
+    t0 = time.perf_counter()
+    acc = None
+    for a in chain:
+        s = fn(a)
+        acc = s if acc is None else acc + s
+    float(acc)
+    return (time.perf_counter() - t0) / len(chain)
 
 
 def _build_ours(iters: int = 24):
@@ -117,14 +140,15 @@ def _build_ours(iters: int = 24):
         return eps * 2.0
 
     eps_list = [jnp.float32(i) * 1e-20 for i in range(iters)]
-    overhead = _median_time(null_scalar, eps_list)
+    # chained-dispatch overhead: per-call submit cost + amortized final fetch
+    overhead = _chained_time(null_scalar, eps_list)
     t_e2e = max(
-        _median_time(lambda e: e2e_scalar(t2v_vars, gen_vars, e), eps_list)
+        _chained_time(lambda e: e2e_scalar(t2v_vars, gen_vars, e), eps_list)
         - overhead,
         1e-9,
     )
     t_voc = max(
-        _median_time(lambda e: voc_scalar(gen_vars, latents, e), eps_list)
+        _chained_time(lambda e: voc_scalar(gen_vars, latents, e), eps_list)
         - overhead,
         1e-9,
     )
