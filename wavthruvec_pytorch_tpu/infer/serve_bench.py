@@ -4,9 +4,13 @@ speaker-embedding fast path.
 
     python -m wavthruvec_pytorch_tpu.infer.serve_bench [--batches 1,8,16,32]
 
-Scalar-fetch timing methodology (see bench.py docstring): every timed
-program returns a scalar forced on host; a null-program dispatch baseline is
-subtracted; params are explicit jit arguments.
+Chained-dispatch timing methodology (see bench.py and BENCH_NOTES "Timing
+methodology correction"): every timed program returns a scalar, iterations
+are folded into a device accumulator and fetched ONCE, and a null-program
+chain is subtracted as submit cost — per-call fetch roundtrips drift +-5 ms
+on this runtime and would otherwise be charged to the model (they made
+sub-10 ms legs read optimistically low).  Params are explicit jit
+arguments (closures blow the remote-compile transport cap).
 """
 
 from __future__ import annotations
@@ -30,14 +34,19 @@ def _cache():
 
 
 def _median_time(fn, args_list, warmup=3):
+    """Chained per-call time: queue all dispatches (scalars folded into a
+    device accumulator), fetch once, divide."""
     for a in args_list[:warmup]:
-        float(fn(a))
-    ts = []
-    for a in args_list[warmup:]:
-        t0 = time.perf_counter()
-        float(fn(a))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        s = fn(a)
+        float(s + s)  # warm the scalar-accumulate program too
+    chain = args_list[warmup:]
+    t0 = time.perf_counter()
+    acc = None
+    for a in chain:
+        s = fn(a)
+        acc = s if acc is None else acc + s
+    float(acc)
+    return (time.perf_counter() - t0) / len(chain)
 
 
 def run(batches, iters=24, gen_precision="f32"):
