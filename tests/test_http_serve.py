@@ -141,3 +141,27 @@ def test_http_concurrent_requests_coalesce(http_server):
                 assert w.getnframes() > 0
     finally:
         synth.text_to_latents = orig
+
+
+def test_service_coalescing_window(tmp_path):
+    """With ``coalesce_wait_ms`` set, a request arriving shortly after the
+    first is folded into the SAME batched synthesis call (batched == 2), not
+    served separately."""
+    import time
+
+    synth = _make_synth()
+    store = _mk_speakers(tmp_path, synth)
+    service = SynthesisService(synth, store, alpha=4.0, max_frames=32,
+                               max_batch=4, coalesce_wait_ms=2000.0)
+    try:
+        # prime jit caches outside the timed window
+        service.submit("SSB0000", "abc").done.wait(600)
+
+        r1 = service.submit("SSB0000", "abc def")
+        time.sleep(0.2)  # well inside the 2 s window
+        r2 = service.submit("SSB0001", "gfe")
+        assert r1.done.wait(600) and r2.done.wait(600)
+        assert r1.error is None and r2.error is None
+        assert (r1.batched, r2.batched) == (2, 2)
+    finally:
+        service.close()

@@ -225,3 +225,35 @@ def test_serve_pcm_streaming_chunks(tmp_path):
                stdin=stdin2, stdout=out2, pcm=True)
     _, full = [(h, d) for h, d in _parse_pcm(out2.getvalue()) if d is not None][0]
     np.testing.assert_allclose(data, full, atol=1)
+
+
+def test_line_source_coalescing_window():
+    """``take(wait_s=...)`` keeps the window open for lines that arrive
+    shortly after the first one, and closes early at max_n."""
+    import time as _time
+
+    from wavthruvec_pytorch_tpu.infer.serve import _LineSource
+
+    def trickle():
+        yield "a\n"
+        _time.sleep(0.05)
+        yield "b\n"
+        _time.sleep(0.05)
+        yield "c\n"
+        _time.sleep(1.0)
+        yield "d\n"
+
+    src = _LineSource(trickle())
+    # window (0.5 s) spans a+b+c (arriving ~0.1 s in) but not d (~1.1 s)
+    lines = src.take(8, wait_s=0.5)
+    assert lines == ["a\n", "b\n", "c\n"]
+    # next take blocks for d as the "first" line
+    assert src.take(8, wait_s=0.0) == ["d\n"]
+    assert src.take(8) == []  # EOF
+
+    # max_n closes the window early: no 2 s wait for a third line
+    src2 = _LineSource(iter(["x\n", "y\n"]))
+    _time.sleep(0.05)  # let the reader thread queue both
+    t0 = _time.perf_counter()
+    assert src2.take(2, wait_s=2.0) == ["x\n", "y\n"]
+    assert _time.perf_counter() - t0 < 1.0

@@ -161,6 +161,12 @@ def _serving_parser():
     p.add_argument("--max_batch", type=int, default=1,
                    help="coalesce up to N queued requests into one batched "
                    "synthesis call (responses keep request order)")
+    p.add_argument("--coalesce_wait_ms", type=float, default=0.0,
+                   help="after the first queued request, wait up to this "
+                   "long for more before dispatching (bigger batches at "
+                   "moderate load at the cost of up to this much added "
+                   "latency; 0 = dispatch immediately with whatever is "
+                   "queued)")
     p.add_argument("--pcm", action="store_true",
                    help="write raw int16 PCM to stdout (framed by control "
                    "lines) instead of wav files")
@@ -227,6 +233,7 @@ def _serve(rest):
         max_frames=a.max_frames or None, do_warmup=a.warmup,
         max_batch=a.max_batch, pcm=a.pcm,
         stream_chunk=a.stream_chunk or None,
+        coalesce_wait_ms=a.coalesce_wait_ms,
     )
     print(f"served {n} requests", file=sys.stderr if a.pcm else sys.stdout)
     return 0
@@ -254,6 +261,7 @@ def _serve_http(rest):
         synth, store, host=a.host, port=a.port, default_speaker=a.speaker,
         alpha=a.alpha, max_frames=a.max_frames or None, max_batch=a.max_batch,
         do_warmup=a.warmup, ready_cb=ready,
+        coalesce_wait_ms=a.coalesce_wait_ms,
     )
     print(f"served {n} requests")
     return 0

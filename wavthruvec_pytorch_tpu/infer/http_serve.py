@@ -72,12 +72,16 @@ class SynthesisService:
 
     def __init__(self, synth, store: SpeakerStore, default_speaker=None,
                  alpha: float = 1.0, max_frames: Optional[int] = None,
-                 max_batch: int = 8):
+                 max_batch: int = 8, coalesce_wait_ms: float = 0.0):
         self.synth = synth
         self.store = store
         self.alpha = alpha
         self.max_frames = max_frames
         self.max_batch = max(1, max_batch)
+        # coalescing window: after the first queued request, wait up to this
+        # long for more before dispatching (see serve.py _LineSource.take and
+        # BENCH_NOTES "Serving coalescing window")
+        self.coalesce_wait_s = max(0.0, coalesce_wait_ms) / 1e3
         self.buckets = _batch_buckets(self.max_batch)
         self.default_speaker = default_speaker or (store.speakers() or [None])[0]
         self.served = 0
@@ -106,9 +110,17 @@ class SynthesisService:
             if self._stop.is_set():
                 return []
             reqs = [self._q.get()]
+        deadline = (time.perf_counter() + self.coalesce_wait_s
+                    if self.coalesce_wait_s > 0 else None)
         while len(reqs) < self.max_batch:
             try:
-                r = self._q.get_nowait()
+                if deadline is None:
+                    r = self._q.get_nowait()
+                else:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    r = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if r is not None:
@@ -200,12 +212,14 @@ def make_handler(service: SynthesisService, timeout_s: float = 600.0):
 def serve_http(synth, store: SpeakerStore, host: str = "127.0.0.1",
                port: int = 8571, default_speaker=None, alpha: float = 1.0,
                max_frames: Optional[int] = None, max_batch: int = 8,
-               do_warmup: bool = False, ready_cb=None):
+               do_warmup: bool = False, ready_cb=None,
+               coalesce_wait_ms: float = 0.0):
     """Run the HTTP server until interrupted.  ``ready_cb(server, service)``
     fires after bind + optional warmup (tests use it to learn the port)."""
     service = SynthesisService(synth, store, default_speaker=default_speaker,
                                alpha=alpha, max_frames=max_frames,
-                               max_batch=max_batch)
+                               max_batch=max_batch,
+                               coalesce_wait_ms=coalesce_wait_ms)
     if do_warmup:
         service.warmup()
     server = ThreadingHTTPServer((host, port), make_handler(service))

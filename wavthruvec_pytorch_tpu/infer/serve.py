@@ -73,17 +73,31 @@ class _LineSource:
             self._q.put(line)
         self._q.put(None)  # EOF sentinel
 
-    def take(self, max_n: int) -> List[str]:
+    def take(self, max_n: int, wait_s: float = 0.0) -> List[str]:
         """Block for one line, then drain whatever is already queued (up to
-        ``max_n`` total).  Returns [] at EOF."""
+        ``max_n`` total).  Returns [] at EOF.
+
+        ``wait_s`` > 0 is the coalescing window: after the first line
+        arrives, keep blocking up to that deadline for more lines instead of
+        only draining what is already queued — trading up to ``wait_s`` of
+        added first-request latency for larger (cheaper per utterance)
+        batches at moderate load.  The window closes early when ``max_n``
+        requests are in hand."""
         first = self._q.get()
         if first is None:
             self._q.put(None)
             return []
         lines = [first]
+        deadline = time.perf_counter() + wait_s if wait_s > 0 else None
         while len(lines) < max_n:
             try:
-                nxt = self._q.get_nowait()
+                if deadline is None:
+                    nxt = self._q.get_nowait()
+                else:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    nxt = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
@@ -236,6 +250,7 @@ def serve_loop(
     max_batch: int = 1,
     pcm: bool = False,
     stream_chunk: Optional[int] = None,
+    coalesce_wait_ms: float = 0.0,
 ):
     from wavthruvec_pytorch_tpu.infer.synthesize import write_wav
 
@@ -326,7 +341,7 @@ def serve_loop(
     src = _LineSource(stdin)
     n = 0
     while True:
-        lines = src.take(max(1, max_batch))
+        lines = src.take(max(1, max_batch), wait_s=coalesce_wait_ms / 1e3)
         if not lines:
             break
         saw_quit = False
