@@ -7,7 +7,12 @@ end-to-end: per-host buffer sharding (data/dataset.py process_shard), global
 batch assembly (shard_batch), and the loop's own globalize_state lift of the
 train state onto the multi-process mesh.
 
-argv: coordinator num_procs proc_id data_root run_dir max_steps
+argv: coordinator num_procs proc_id data_root run_dir max_steps [mode]
+mode "valdiverge" additionally exercises host-sharded validation
+(--validate with a per-host val shard + mesh-sharded val_fn) and MULTIPLE
+shape buckets — per-host bucket picks can diverge across filelist shards,
+which only works because multi-process loaders pad to the largest bucket
+(BucketedLoader pad_to_max).
 Prints: LOOPHOST_DONE <proc_id> <final_step>
 """
 
@@ -18,6 +23,7 @@ coordinator, num_procs, proc_id, data_root, run_dir, max_steps = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
     sys.argv[5], int(sys.argv[6]),
 )
+mode = sys.argv[7] if len(sys.argv) > 7 else "plain"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -71,7 +77,13 @@ cfg = dataclasses.replace(
     log_step=10**9,
     save_step=10**9,
 )
-args = text2vec_loop.parse_args(["--max_steps", str(max_steps)])
+argv = ["--max_steps", str(max_steps)]
+if mode == "valdiverge":
+    # two text buckets: per-host picks could diverge, pad_to_max must hold;
+    # val every step through the mesh-sharded val_fn
+    cfg = dataclasses.replace(cfg, text_buckets=(8, 16), val_step=1)
+    argv.append("--validate")
+args = text2vec_loop.parse_args(argv)
 state = text2vec_loop.main(args, cfg)
 assert jax.process_count() == num_procs
 print(f"LOOPHOST_DONE {proc_id} {int(state.step)}", flush=True)

@@ -171,3 +171,37 @@ def test_two_process_production_loop(tmp_path):
                 _, pid, step_n = line.split()
                 done[int(pid)] = int(step_n)
     assert done == {0: max_steps, 1: max_steps}
+
+
+@pytest.mark.slow
+def test_two_process_loop_validation_and_divergent_buckets(tmp_path):
+    """Host-sharded validation + multi-bucket shape safety: the production
+    t2v loop runs 2-process with TWO text buckets (per-host bucket picks can
+    diverge across filelist shards — multi-process loaders must pad to the
+    largest bucket) and --validate (mesh-sharded val_fn over per-host val
+    shards; plain jit would reject the globally-replicated state)."""
+    num_procs, max_steps = 2, 2
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_loop_worker.py")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(num_procs), str(i),
+             os.path.join(root, "data", "demo"), str(tmp_path),
+             str(max_steps), "valdiverge"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            cwd=root,
+        )
+        for i in range(num_procs)
+    ]
+    done = {}
+    for p in procs:
+        out, err = p.communicate(timeout=2400)
+        assert p.returncode == 0, f"valdiverge worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("LOOPHOST_DONE"):
+                _, pid, step_n = line.split()
+                done[int(pid)] = int(step_n)
+    assert done == {0: max_steps, 1: max_steps}

@@ -73,7 +73,7 @@ def main(B=16, N=64, T=1024):
     model, state = t2v.init_state(cfg, key, batch)
     tx = t2v.make_optimizer(cfg)
 
-    def apply_model(params, eps):
+    def apply_model(params, batch, eps):
         return model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch["text"], batch["src_pos"], batch["feat_target"] + eps,
@@ -83,12 +83,12 @@ def main(B=16, N=64, T=1024):
             rngs={"dropout": key}, mutable=["batch_stats"],
         )
 
-    def proxy_loss(params, eps):
-        outputs, _ = apply_model(params, eps)
+    def proxy_loss(params, batch, eps):
+        outputs, _ = apply_model(params, batch, eps)
         return jnp.sum(outputs["feat_postnet_output"][:, ::16, :1])
 
-    def real_loss(params, eps):
-        outputs, _ = apply_model(params, eps)
+    def real_loss(params, batch, eps):
+        outputs, _ = apply_model(params, batch, eps)
         wvf, post, dur = dnn_loss(
             outputs["feat_output"], outputs["feat_postnet_output"],
             batch["feat_target"], outputs["duration_predictor_output"],
@@ -98,10 +98,13 @@ def main(B=16, N=64, T=1024):
         return wvf + post + dur + cfg.binarization_loss_weight * binl
 
     def gsum(loss):
-        def f(eps):
-            g = jax.grad(loss)(state.params, eps)
-            return sum(jnp.sum(x[..., :1]) for x in jax.tree_util.tree_leaves(g))
-        return jax.jit(f)
+        # params as a jit ARGUMENT, not a closure constant: closures bake the
+        # tree into the program payload and the remote-compile tunnel rejects
+        # it (HTTP 413) — same lesson as tools/infer_profile.py.
+        f = jax.jit(lambda p, b, eps: sum(
+            jnp.sum(x[..., :1])
+            for x in jax.tree_util.tree_leaves(jax.grad(loss)(p, b, eps))))
+        return lambda eps: f(state.params, batch, eps)
 
     null = jax.jit(lambda e: e * 2.0)
     overhead = _chained(null)
@@ -112,8 +115,8 @@ def main(B=16, N=64, T=1024):
 
     # per-term increments over the proxy: add one real term at a time
     def term_loss(which):
-        def loss(params, eps):
-            outputs, _ = apply_model(params, eps)
+        def loss(params, batch, eps):
+            outputs, _ = apply_model(params, batch, eps)
             wvf, post, dur = dnn_loss(
                 outputs["feat_output"], outputs["feat_postnet_output"],
                 batch["feat_target"], outputs["duration_predictor_output"],
@@ -130,14 +133,17 @@ def main(B=16, N=64, T=1024):
         res[f"{w}_only_fwd_bwd_ms"] = round((_chained(gsum(term_loss(w))) - overhead) * 1e3, 1)
 
     # grads -> clip/LAMB/apply, chained on the same params (no donation)
-    def with_update(eps):
-        grads = jax.grad(real_loss)(state.params, eps)
-        updates, _ = tx.update(grads, state.opt_state, state.params)
-        import optax
-        newp = optax.apply_updates(state.params, updates)
+    import optax
+
+    def with_update(p, os_, b, eps):
+        grads = jax.grad(real_loss)(p, b, eps)
+        updates, _ = tx.update(grads, os_, p)
+        newp = optax.apply_updates(p, updates)
         return sum(jnp.sum(x[..., :1]) for x in jax.tree_util.tree_leaves(newp))
 
-    res["real_fwd_bwd_update_ms"] = round((_chained(jax.jit(with_update)) - overhead) * 1e3, 1)
+    wu = jax.jit(with_update)
+    res["real_fwd_bwd_update_ms"] = round(
+        (_chained(lambda e: wu(state.params, state.opt_state, batch, e)) - overhead) * 1e3, 1)
 
     # production step (donated state, returns metrics+viz)
     step, _ = t2v.make_train_step(model, cfg)

@@ -126,6 +126,7 @@ class BucketedLoader:
         drop_last: bool = True,
         shuffle: bool = True,
         batch_size: Optional[int] = None,
+        pad_to_max: Optional[bool] = None,
     ):
         self.buffer = buffer
         self.cfg = cfg
@@ -136,6 +137,17 @@ class BucketedLoader:
         # under multi-process data parallelism (parallel.local_batch_size)
         self.batch_size = batch_size or cfg.batch_size
         self.super_batch = self.batch_size * cfg.batch_expand_size
+        # Multi-process SPMD requires every host's j-th batch to have the
+        # SAME padded shape (the global batch is assembled from per-host
+        # slices, parallel.shard_batch) — but hosts hold different filelist
+        # shards, so per-batch bucket picks can diverge.  Padding to the
+        # largest configured buckets makes shapes host-independent; default
+        # auto-enables exactly when multi-process.
+        if pad_to_max is None:
+            import jax
+
+            pad_to_max = jax.process_count() > 1
+        self.pad_to_max = pad_to_max
 
     def __len__(self) -> int:
         n_super = len(self.buffer) // self.super_batch
@@ -155,7 +167,14 @@ class BucketedLoader:
                 chunk = items[
                     j * self.batch_size : (j + 1) * self.batch_size
                 ]
-                yield make_padded_batch(chunk, self.cfg)
+                if self.pad_to_max:
+                    yield make_padded_batch(
+                        chunk, self.cfg,
+                        text_pad=self.cfg.text_buckets[-1],
+                        frame_pad=self.cfg.frame_buckets[-1],
+                    )
+                else:
+                    yield make_padded_batch(chunk, self.cfg)
 
     def bucket_shapes(self):
         """All (text_bucket, frame_bucket) pairs this dataset can emit —

@@ -355,7 +355,7 @@ class VocoderLoader:
 
     def __init__(self, dataset: VocoderDataset, batch_size: int, seed: int = 1234,
                  shuffle: bool = True, drop_last: bool = True,
-                 num_workers: int = 4):
+                 num_workers: int = 4, pad_to_max: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -363,6 +363,15 @@ class VocoderLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._pool = None
+        # multi-process SPMD needs host-independent batch shapes (hosts hold
+        # different filelist shards, so per-batch bucket picks can diverge);
+        # full-utterance mode pads to the largest frame bucket then.
+        # Windowed mode is one exact static shape already.
+        if pad_to_max is None:
+            import jax
+
+            pad_to_max = jax.process_count() > 1
+        self.pad_to_max = pad_to_max
 
     def __len__(self):
         n = len(self.dataset)
@@ -388,7 +397,7 @@ class VocoderLoader:
         frame_pad = (
             cfg.segment_size // cfg.total_upsample
             if (self.dataset.split and not self.dataset.fine_tuning)
-            else None
+            else (cfg.frame_buckets[-1] if self.pad_to_max else None)
         )
         n_batches = len(self)
         for b in range(n_batches):

@@ -42,15 +42,22 @@ def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
-def make_val_fn(model):
+def make_val_fn(model, mesh=None):
     """Jitted eval-mode forward + losses (one dispatch per val batch; the
-    eager per-op path costs minutes per validation through a TPU tunnel)."""
+    eager per-op path costs minutes per validation through a TPU tunnel).
+
+    With a ``mesh``, the batch is sharded over the data axis and the state
+    is replicated — host-sharded validation: under multi-process training
+    each host's val loader holds its own filelist shard (load_buffer ->
+    process_shard), the global batch is assembled per-host by shard_batch,
+    and the returned scalars are replicated global-batch means.  Without
+    this the plain jit would reject the globally-replicated train state
+    (non-addressable arrays on other hosts)."""
     from wavthruvec_pytorch_tpu.models.losses import (
         attention_binarization_loss,
         dnn_loss,
     )
 
-    @jax.jit
     def val_fn(params, batch_stats, batch):
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -67,11 +74,24 @@ def make_val_fn(model):
         return {"WVF_loss": w, "WVF_postnet_loss": p,
                 "duration_loss": d, "binarization_loss": b}
 
-    return val_fn
+    if mesh is None:
+        return jax.jit(val_fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_shardings = {
+        "text": data, "src_pos": data, "feat_target": data,
+        "input_lengths": data, "output_lengths": data, "feat_pos": data,
+        "attn_prior": data,
+    }
+    return jax.jit(val_fn, in_shardings=(repl, repl, batch_shardings),
+                   out_shardings=repl)
 
 
 def compute_validation_loss(model, cfg, state, val_loader, logger, iteration,
-                            val_fn=None):
+                            val_fn=None, mesh=None):
     """Eval-mode forward + losses over the val set (reference:
     text2vec/train.py:80-196 — defined there, call commented out).
 
@@ -87,11 +107,13 @@ def compute_validation_loss(model, cfg, state, val_loader, logger, iteration,
     import math
 
     if val_fn is None:
-        val_fn = make_val_fn(model)
+        val_fn = make_val_fn(model, mesh=mesh)
     totals, n, bad = {}, 0, 0
     for batch in val_loader.epoch():
         batch.pop("audiopaths", None)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         losses = {k: float(v)
                   for k, v in val_fn(state.params, state.batch_stats, batch).items()}
         if all(math.isfinite(v) for v in losses.values()):
@@ -176,14 +198,19 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
         if val_lists:
             import dataclasses as _dc
 
+            # load_buffer process-shards the val list, so under multi-process
+            # each host validates its own shard at the local batch size and
+            # val_fn's mesh shardings make the reported scalars global-batch
+            # means (host-sharded validation)
             val_buffer = load_buffer(val_lists, cfg, frontend)
             # expand=1 so small val sets still yield batches (a super-batch
             # of batch_size*expand items would drop a val set smaller than it)
             val_cfg = _dc.replace(cfg, batch_expand_size=1)
             val_loader = BucketedLoader(
-                val_buffer, val_cfg, seed=args.seed, shuffle=False
+                val_buffer, val_cfg, seed=args.seed, shuffle=False,
+                batch_size=local_batch_size(cfg.batch_size),
             )
-            val_fn = make_val_fn(model)
+            val_fn = make_val_fn(model, mesh=mesh)
             if len(val_loader) == 0:
                 print(f"validation set too small for batch {cfg.batch_size}")
         else:
@@ -256,7 +283,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
             if val_loader is not None and iteration % cfg.val_step == 0:
                 vals = compute_validation_loss(
                     model, cfg, state, val_loader, logger, iteration,
-                    val_fn=val_fn,
+                    val_fn=val_fn, mesh=mesh,
                 )
                 logger.text(
                     f"Validation at step {iteration}: "

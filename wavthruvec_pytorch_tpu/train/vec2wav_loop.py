@@ -45,9 +45,23 @@ from wavthruvec_pytorch_tpu.utils.logging import host_logger
 from wavthruvec_pytorch_tpu.utils.plots import plot_spectrogram
 
 
-def validate(models, cfg, state, validset, logger, steps, max_items: int = 4):
+def validate(models, cfg, state, validset, logger, steps, max_items: int = 4,
+             mesh=None):
     """Reference validation (vec2wav/train.py:246-291, minus the stray
-    pdb.set_trace): full synth, mel L1, TB audio + spectrogram figures."""
+    pdb.set_trace): full synth, mel L1, TB audio + spectrogram figures.
+
+    Under multi-process training the state is globally replicated (its
+    arrays span non-addressable devices), so it is first converted back to
+    host-local arrays — a collective every process participates in; each
+    process then validates locally and ``host_logger`` keeps TB writes on
+    process 0 (<=16 variable-length items, so the redundancy is cheap and
+    every host stays in step for the next training collective)."""
+    if mesh is not None and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        state = multihost_utils.global_array_to_host_local_array(
+            state, mesh, P())
     rng = jax.random.PRNGKey(steps)
     val_err_tot, n = 0.0, 0
     for j in range(min(len(validset), 16)):
@@ -172,7 +186,8 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
                 logger.add_scalar("training/mel_spec_error",
                                   float(metrics["mel_spec_error"]), steps)
             if steps % cfg.val_step == 0 and steps != 0:
-                validate(models, cfg, state, validset, logger, steps)
+                validate(models, cfg, state, validset, logger, steps,
+                         mesh=mesh)
             steps += 1
             if args.max_steps and steps >= args.max_steps:
                 # final checkpoint on bounded runs (save_step may not divide)
