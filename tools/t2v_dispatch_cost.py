@@ -62,6 +62,7 @@ def main(B=16, N=64, T=1024, n=10):
         lambda s: (s, jnp.float32(0.0) + s.step), donate_argnums=(0,))
     ms, state = chain_state(ident, state)
     res["identity_state_ms"] = round(ms, 1)
+    print(json.dumps(res), flush=True)
 
     # 2. production step
     step, _ = t2v.make_train_step(model, cfg)
@@ -69,10 +70,12 @@ def main(B=16, N=64, T=1024, n=10):
         lambda s: step(s, batch, key), state,
         fetch=lambda m: float(m["total_loss"]))
     res["full_step_chained_ms"] = round(ms, 1)
+    print(json.dumps(res), flush=True)
 
-    # 3. production step, fetching metrics EVERY call (train_bench style)
-    state2 = state
-    step(state2, batch, key)  # already compiled
+    # 3. production step, fetching metrics EVERY call (train_bench style).
+    # The step donates its state argument, so every call must rebind.
+    state2, m0 = step(state, batch, key)
+    float(m0["total_loss"])
     ts = []
     for i in range(n):
         t0 = time.perf_counter()

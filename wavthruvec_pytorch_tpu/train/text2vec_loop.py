@@ -221,6 +221,51 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     rng = jax.random.PRNGKey(args.seed + 1)
     start_time = time.perf_counter()
 
+    # Deferred (double-buffered) metrics emit: fetching the step's scalars
+    # synchronously costs ~32 ms/step through the runtime (21% of the B16
+    # step — tools/t2v_dispatch_cost.py: 149 ms chained vs 181 ms
+    # fetch-each).  Each iteration's logging is emitted AFTER the next step
+    # has been dispatched, so the host fetch overlaps device compute.  TB
+    # content is unchanged; only the lr line in the text log reads the
+    # then-current state (one step newer — identical under frozen lr).
+    pending = None
+
+    def emit(pend):
+        it, ep, metrics, audiopaths, log_in_len, log_out_len = pend
+        if it % args.scalar_log_step == 0:
+            for tag in ("total_loss", "WVF_loss", "WVF_postnet_loss",
+                        "duration_loss", "attn_binarization_loss"):
+                logger.add_scalar(f"train/{tag}", float(metrics[tag]), it)
+
+        if it % cfg.log_step == 0:
+            elapsed = time.perf_counter() - start_time
+            logger.text(
+                f"Epoch [{ep + 1}/{cfg.epochs}], Step [{it}/{total_step}]:",
+                "W2V Feat Loss: {:.4f}, PostNet Loss: {:.4f}, attn_bin: {:.4f};".format(
+                    float(metrics["WVF_loss"]),
+                    float(metrics["WVF_postnet_loss"]),
+                    float(metrics["attn_binarization_loss"]),
+                ),
+                "Current Learning Rate is {:.6f}.".format(
+                    float(state.opt_state.hyperparams["learning_rate"])
+                ),
+                "Time Used: {:.3f}s, Estimated Remaining: {:.3f}s.".format(
+                    elapsed, (total_step - it) * timer.mean
+                ),
+            )
+            if jax.process_count() == 1:
+                name = os.path.basename(audiopaths[0]) if audiopaths else ""
+                soft = np.asarray(metrics["attn_soft_0"])[
+                    :log_out_len, :log_in_len].T
+                hard = np.asarray(metrics["attn_hard_0"])[
+                    :log_out_len, :log_in_len].T
+                logger.add_image(
+                    "train/attention_weights(align_soft)",
+                    plot_alignment_to_numpy(soft, title=name), it)
+                logger.add_image(
+                    "train/attention_weights_mas(align_hard)",
+                    plot_alignment_to_numpy(hard, title=name), it)
+
     for epoch in range(cfg.epochs):
         for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
             audiopaths = batch.pop("audiopaths")
@@ -241,39 +286,10 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
             iteration += 1
             timer.tick()
 
-            if iteration % args.scalar_log_step == 0:
-                for tag in ("total_loss", "WVF_loss", "WVF_postnet_loss",
-                            "duration_loss", "attn_binarization_loss"):
-                    logger.add_scalar(f"train/{tag}", float(metrics[tag]), iteration)
-
-            if iteration % cfg.log_step == 0:
-                elapsed = time.perf_counter() - start_time
-                logger.text(
-                    f"Epoch [{epoch + 1}/{cfg.epochs}], Step [{iteration}/{total_step}]:",
-                    "W2V Feat Loss: {:.4f}, PostNet Loss: {:.4f}, attn_bin: {:.4f};".format(
-                        float(metrics["WVF_loss"]),
-                        float(metrics["WVF_postnet_loss"]),
-                        float(metrics["attn_binarization_loss"]),
-                    ),
-                    "Current Learning Rate is {:.6f}.".format(
-                        float(state.opt_state.hyperparams["learning_rate"])
-                    ),
-                    "Time Used: {:.3f}s, Estimated Remaining: {:.3f}s.".format(
-                        elapsed, (total_step - iteration) * timer.mean
-                    ),
-                )
-                if jax.process_count() == 1:
-                    name = os.path.basename(audiopaths[0]) if audiopaths else ""
-                    soft = np.asarray(metrics["attn_soft_0"])[
-                        :log_out_len, :log_in_len].T
-                    hard = np.asarray(metrics["attn_hard_0"])[
-                        :log_out_len, :log_in_len].T
-                    logger.add_image(
-                        "train/attention_weights(align_soft)",
-                        plot_alignment_to_numpy(soft, title=name), iteration)
-                    logger.add_image(
-                        "train/attention_weights_mas(align_hard)",
-                        plot_alignment_to_numpy(hard, title=name), iteration)
+            if pending is not None:
+                emit(pending)
+            pending = (iteration, epoch, metrics, audiopaths,
+                       log_in_len, log_out_len)
 
             if iteration % cfg.save_step == 0:
                 path = os.path.join(cfg.checkpoint_path, f"checkpoint_{iteration}")
@@ -291,8 +307,12 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                 )
 
             if args.max_steps and iteration >= args.max_steps:
+                if pending is not None:
+                    emit(pending)
                 logger.flush()
                 return state
+    if pending is not None:
+        emit(pending)
     logger.flush()
     return state
 
