@@ -83,7 +83,21 @@ def main(B=16, N=64, T=1024, n=10):
         float(m["total_loss"])
         ts.append(time.perf_counter() - t0)
     res["full_step_fetch_each_ms"] = round(float(np.median(ts)) * 1e3, 1)
+    print(json.dumps(res), flush=True)
 
+    # 4. the production loop's new pattern: double-buffered emit (fetch
+    # step i-1's metrics after dispatching step i)
+    state3 = state2
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(n):
+        state3, m = step(state3, batch, jax.random.PRNGKey(100 + i))
+        if prev is not None:
+            float(prev["total_loss"])
+        prev = m
+    float(prev["total_loss"])
+    res["full_step_deferred_fetch_ms"] = round(
+        (time.perf_counter() - t0) / n * 1e3, 1)
     print(json.dumps(res), flush=True)
 
 
