@@ -18,6 +18,10 @@ Timing methodology (axon runtime quirks):
   a device accumulator) with one final fetch, so the +-5 ms per-call fetch
   drift is amortized; the same chain over a null program is subtracted
   (submit cost);
+* each measurement is the median of K=5 independent chains with slow-chain
+  rejection (>1.5x the fastest) — a single chain can be poisoned by one
+  runtime/tunnel stall (this corrupted BENCH_r02); the torch-CPU baseline
+  is the median of 10 iterations for the same reason;
 * fori_loop-wrapping large model graphs explodes this compiler's time, so
   iterations are separate dispatches of one compiled program with varying
   inputs (no result caching exists across dispatches);
@@ -50,36 +54,38 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
-def _median_time(fn, args_list, warmup=3):
-    for a in args_list[:warmup]:
-        float(fn(a))
-    ts = []
-    for a in args_list[warmup:]:
-        t0 = time.perf_counter()
-        float(fn(a))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+def _one_chain(fn, args_list):
+    """Total wall time of one chain of dispatches with ONE final fetch."""
+    t0 = time.perf_counter()
+    acc = None
+    for a in args_list:
+        s = fn(a)
+        acc = s if acc is None else acc + s
+    float(acc)
+    return time.perf_counter() - t0
 
 
-def _chained_time(fn, args_list, warmup=3):
-    """Per-call time over a chain of dispatches with ONE final fetch.
+def _chained_time(fn, args_list, warmup=3, n_chains=5, outlier_factor=1.5):
+    """Per-call time: median over K independent chains, stall-rejected.
 
     Each call's scalar is folded into an accumulator on device, so the host
     queues work without round-tripping per call — the reliable methodology
     for this runtime (BENCH_NOTES "Timing methodology correction"): per-call
     fetch latency drifts +-5 ms and would otherwise be charged to the model.
-    The final float() forces the whole chain."""
+
+    A single chain is NOT stall-proof: one runtime/tunnel hiccup inside the
+    chain (~0.7 s observed) poisons its whole average — this corrupted the
+    official BENCH_r02 capture (224x recorded for a ~1100x system).  So we
+    time ``n_chains`` independent chains, drop any chain slower than
+    ``outlier_factor`` x the fastest, and report the median of the survivors.
+    """
     for a in args_list[:warmup]:
         s = fn(a)
         float(s + s)  # also warm the scalar-accumulate program
     chain = args_list[warmup:]
-    t0 = time.perf_counter()
-    acc = None
-    for a in chain:
-        s = fn(a)
-        acc = s if acc is None else acc + s
-    float(acc)
-    return (time.perf_counter() - t0) / len(chain)
+    totals = sorted(_one_chain(fn, chain) for _ in range(n_chains))
+    kept = [t for t in totals if t <= outlier_factor * totals[0]]
+    return float(np.median(kept)) / len(chain)
 
 
 def _build_ours(iters: int = 24):
@@ -157,8 +163,12 @@ def _build_ours(iters: int = 24):
     return audio_seconds / t_e2e, audio_seconds / t_voc, np.asarray(latents)
 
 
-def _measure_reference_vocoder(latents: np.ndarray, iters: int = 2):
-    """Reference PyTorch Generator on CPU over the same latents (config 1)."""
+def _measure_reference_vocoder(latents: np.ndarray, iters: int = 10):
+    """Reference PyTorch Generator on CPU over the same latents (config 1).
+
+    Median of ``iters`` >= 10 timed forwards: on a contended few-core host a
+    2-iteration mean swung the recorded ratio 153.5 -> 201.3 -> 332.8 across
+    runs; the median of 10 is stable to a few percent."""
     import importlib.util
 
     import torch
@@ -182,10 +192,12 @@ def _measure_reference_vocoder(latents: np.ndarray, iters: int = 2):
         noise = torch.zeros(1, hp.noise_dim)
         with torch.no_grad():
             y = g(x, spk, noise)  # warmup
-            t0 = time.perf_counter()
+            ts = []
             for _ in range(iters):
+                t0 = time.perf_counter()
                 y = g(x, spk, noise)
-            dt = (time.perf_counter() - t0) / iters
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
         audio_seconds = y.shape[-1] / hp.sampling_rate
         return audio_seconds / dt
     finally:

@@ -11,6 +11,7 @@ prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
     python -m wavthruvec_pytorch_tpu.cli serve          --spk_emb_dir ... (stdin loop)
     python -m wavthruvec_pytorch_tpu.cli serve-http     --spk_emb_dir ... [--port 8571]
     python -m wavthruvec_pytorch_tpu.cli export-torch   --stage t2v|v2w --checkpoint ...
+    python -m wavthruvec_pytorch_tpu.cli recalibrate-bn --t2v_checkpoint ... --filelist ...
 """
 
 from __future__ import annotations
@@ -67,8 +68,78 @@ def main(argv=None):
         return _serve_http(rest)
     if cmd == "export-torch":
         return _export_torch(rest)
+    if cmd == "recalibrate-bn":
+        return _recalibrate_bn(rest)
     print(f"unknown command: {cmd}\n{__doc__}")
     return 1
+
+
+def _recalibrate_bn(rest):
+    """Re-estimate a Text2Vec checkpoint's BN running statistics from
+    calibration data and write a recalibrated {params, batch_stats}
+    checkpoint.  Fixes the eval-mode BN overflow a long LAMB-trained
+    checkpoint can hit on outlier inputs (BENCH_NOTES "Val-NaN root cause";
+    the reference's ``model.eval()`` path, text2vec/eval.py:24, has the same
+    exposure and no fix).  Train-mode math is unchanged."""
+    import numpy as np
+
+    from wavthruvec_pytorch_tpu import checkpoint as ckpt
+    from wavthruvec_pytorch_tpu.config import Text2VecConfig, load_config
+    from wavthruvec_pytorch_tpu.infer.recalibrate import (
+        recalibrate_text2vec_bn,
+        text2vec_calibration_batches,
+    )
+    from wavthruvec_pytorch_tpu.infer.synthesize import init_import_models
+    from wavthruvec_pytorch_tpu.models import Text2Vec
+    from wavthruvec_pytorch_tpu.text import TextFrontend
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--t2v_checkpoint", required=True,
+                   help="orbax checkpoint dir or reference .pth.tar")
+    p.add_argument("--filelist", required=True,
+                   help="npy|text|spk calibration lines (e.g. the val list)")
+    p.add_argument("--feat_root", default="",
+                   help="root for the filelist's npy paths")
+    p.add_argument("--config", default="", help="Text2VecConfig JSON")
+    p.add_argument("--vocab_path", default="./data/vocab.txt")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_items", type=int, default=128)
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="infer frame cap (default: largest frame bucket)")
+    p.add_argument("--out", required=True, help="output orbax checkpoint dir")
+    a = p.parse_args(rest)
+
+    cfg = (load_config(Text2VecConfig, a.config) if a.config
+           else Text2VecConfig().with_vocab_from_file(a.vocab_path))
+    frontend = TextFrontend.from_vocab_file(
+        a.config and cfg.vocab_path or a.vocab_path)
+    from wavthruvec_pytorch_tpu.config import Vec2WavConfig
+
+    _, t2v_vars, _, _ = init_import_models(
+        cfg, Vec2WavConfig(), t2v_checkpoint=a.t2v_checkpoint)
+
+    items = []
+    with open(a.filelist, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            npy, text, _spk = line.split("|")
+            path = os.path.join(a.feat_root, npy) if a.feat_root else npy
+            items.append((text, np.load(path).squeeze().astype(np.float32)))
+            if len(items) >= a.max_items:
+                break
+    batches = text2vec_calibration_batches(
+        frontend, cfg, items, batch_size=a.batch_size)
+    t2v = Text2Vec(cfg)
+    new_vars = recalibrate_text2vec_bn(
+        t2v, t2v_vars, batches,
+        max_frames=a.max_frames or cfg.frame_buckets[-1])
+    ckpt.save_checkpoint(a.out, {"params": new_vars["params"],
+                                 "batch_stats": new_vars["batch_stats"]})
+    print(f"recalibrated BN stats over {len(items)} items "
+          f"({len(batches)} batches) -> {a.out}")
+    return 0
 
 
 def _export_torch(rest):

@@ -36,6 +36,7 @@ import numpy as np
 
 from wavthruvec_pytorch_tpu.infer.serve import (
     SpeakerStore,
+    _NONFINITE_MSG,
     _batch_buckets,
     _synthesize_batch,
     warmup,
@@ -134,12 +135,18 @@ class SynthesisService:
                 continue
             bucket = next(b for b in self.buckets if b >= len(reqs))
             try:
-                wavs, n_samples = _synthesize_batch(
+                wavs, n_samples, finite_ok = _synthesize_batch(
                     self.synth, self.store,
                     [(r.speaker, r.text) for r in reqs],
                     self.alpha, self.max_frames, pad_to=bucket,
                 )
                 for i, r in enumerate(reqs):
+                    # finite-output guard: eval-mode BN overflow on outlier
+                    # inputs (BENCH_NOTES "Val-NaN root cause") must surface
+                    # as an error, never as NaN PCM in an audio/wav response
+                    if not finite_ok[i]:
+                        r.error = _NONFINITE_MSG
+                        continue
                     r.wav = np.asarray(wavs[i])
                     r.n_samples = int(n_samples[i])
                     r.batched = len(reqs)

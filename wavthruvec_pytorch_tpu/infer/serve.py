@@ -218,9 +218,15 @@ def _serve_noise(synth, B: int) -> np.ndarray:
 
 def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
     """One batched synthesis over parsed (spk, text) requests.  Returns
-    ([B, L] wavs, [B] sample counts).  ``pad_to`` pads the batch (repeating
-    the last request) to a fixed bucket size so only warmed-up jit shapes
-    run; padded rows are dropped from the result."""
+    ([B, L] wavs, [B] sample counts, [B] finite-ok bools).  ``pad_to`` pads
+    the batch (repeating the last request) to a fixed bucket size so only
+    warmed-up jit shapes run; padded rows are dropped from the result.
+
+    The finite mask checks the FULL padded latent and wav rows, not just the
+    emitted samples: a BN-overflowed checkpoint (BENCH_NOTES "Val-NaN root
+    cause") propagates NaN through the duration predictor too, so
+    ``total_frames`` can collapse to 0 and an emitted-samples-only check
+    would pass on an empty slice."""
     n = len(reqs)
     if pad_to is not None and pad_to > n:
         reqs = list(reqs) + [reqs[-1]] * (pad_to - n)
@@ -230,11 +236,18 @@ def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
     voc_embs = np.stack([store.vocoder_emb(s) for s, _ in reqs], axis=0)
     out = synth.text_to_latents(
         texts, None, alpha=alpha, max_frames=max_frames, t2v_spk_emb=t2v_embs)
-    wav = synth.latents_to_wav(
-        out["feat_postnet_output"], voc_embs,
-        noise=_serve_noise(synth, len(reqs)))
+    lat = out["feat_postnet_output"]
+    wav = synth.latents_to_wav(lat, voc_embs, noise=_serve_noise(synth, len(reqs)))
     n_samples = out["total_frames"] * synth.v2w_cfg.total_upsample
-    return wav[:n], n_samples[:n]
+    finite_ok = (np.isfinite(lat).all(axis=(1, 2))
+                 & np.isfinite(wav).all(axis=1))
+    return wav[:n], n_samples[:n], finite_ok[:n]
+
+
+_NONFINITE_MSG = (
+    "non-finite audio (eval-mode BN overflow — recalibrate the checkpoint's "
+    "BN running stats: cli recalibrate-bn / infer/recalibrate.py)"
+)
 
 
 def serve_loop(
@@ -284,7 +297,14 @@ def serve_loop(
             chunk_frames=int(stream_chunk),
         )
 
-    def respond(wav: np.ndarray, n_samp: int, n: int, dt_ms: float, b: int):
+    def respond(wav: np.ndarray, n_samp: int, n: int, dt_ms: float, b: int,
+                finite_ok: bool = True):
+        # finite-output guard: a long-trained checkpoint's eval-mode BN can
+        # overflow on an outlier input (BENCH_NOTES "Val-NaN root cause");
+        # emit a clean error instead of NaN PCM / a NaN wav file.
+        if not finite_ok:
+            say(f"ERR {_NONFINITE_MSG}")
+            return
         if pcm:
             sr = synth.v2w_cfg.sampling_rate
             data = np.clip(wav[:n_samp], -1, 1)
@@ -322,6 +342,13 @@ def serve_loop(
         for chunk in sv.stream(latents[None], spk_emb[None],
                                _serve_noise(synth, 1)):
             data = np.clip(chunk[0][: max(0, target - n_samp)], -1, 1)
+            if not np.isfinite(data).all():
+                # generator-side overflow mid-stream: close the frame with an
+                # explicit abort instead of emitting NaN PCM (np.clip keeps
+                # NaN); the latent-side guard upstream catches the common case
+                binout.write(f"PCMABORT {_NONFINITE_MSG}\n".encode())
+                binout.flush()
+                return
             if data.shape[0]:
                 if ttfa_ms is None:
                     ttfa_ms = (time.perf_counter() - dt0) * 1e3
@@ -383,6 +410,9 @@ def serve_loop(
                             axis=0),
                     )
                     for j, (slot, spk, _) in enumerate(reqs):
+                        if not np.isfinite(out["feat_postnet_output"][j]).all():
+                            responses[slot] = f"ERR {_NONFINITE_MSG}"
+                            continue
                         respond_stream(
                             out["feat_postnet_output"][j],
                             store.vocoder_emb(spk),
@@ -390,12 +420,13 @@ def serve_loop(
                         responses[slot] = ""  # already written
                         n += 1
                 else:
-                    wavs, n_samples = _synthesize_batch(
+                    wavs, n_samples, finite_ok = _synthesize_batch(
                         synth, store, [(s, t) for _, s, t in reqs],
                         alpha, max_frames, pad_to=bucket)
                     dt_ms = (time.perf_counter() - t0) * 1e3
                     for j, (slot, _, _) in enumerate(reqs):
-                        respond(wavs[j], int(n_samples[j]), n, dt_ms, len(reqs))
+                        respond(wavs[j], int(n_samples[j]), n, dt_ms,
+                                len(reqs), finite_ok=bool(finite_ok[j]))
                         responses[slot] = ""
                         n += 1
             except Exception as e:  # keep serving

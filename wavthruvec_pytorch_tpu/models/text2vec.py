@@ -260,6 +260,7 @@ class Text2Vec(nn.Module):
         max_frames: int,
         alpha: float = 1.0,
         spk_emb=None,
+        train_bn: bool = False,
     ) -> Dict[str, Any]:
         """Inference branch (reference: model.py:340-356): duration-predictor
         path, no MAS; output padded to the static ``max_frames`` with a
@@ -268,9 +269,16 @@ class Text2Vec(nn.Module):
         ``spk_emb`` (precomputed [B, n_speaker_dim], e.g. from
         ``speaker_embedding``) skips the per-call ECAPA pass over the
         reference clip — the serving fast path where the speaker is fixed.
+
+        ``train_bn=True`` runs the BN layers (ECAPA + CBHG) on batch
+        statistics instead of running averages — used ONLY by the
+        running-stat recalibration pass (infer/recalibrate.py); the
+        reference's ``model.eval()`` (text2vec/eval.py:24) has no analog and
+        is exposed to the eval-mode BN overflow documented in BENCH_NOTES
+        ("Val-NaN root cause").
         """
         encoder_output, _, _, _ = self.encoder(
-            src_seq, src_pos, wav_feat, deterministic=True, train=False,
+            src_seq, src_pos, wav_feat, deterministic=True, train=train_bn,
             spk_emb=spk_emb,
         )
         dp_out = self.duration_predictor(encoder_output, deterministic=True)
@@ -287,7 +295,7 @@ class Text2Vec(nn.Module):
         decoder_output = self.decoder(lr_output, WVF_pos, deterministic=True)
         WVF_output = self.WVF_linear(decoder_output)
         WVF_output = self.mask_tensor(WVF_output, WVF_pos, max_frames)
-        residual = self.postnet(WVF_output, train=False)
+        residual = self.postnet(WVF_output, train=train_bn)
         residual = self.last_linear(residual)
         WVF_postnet_output = WVF_output + residual
         WVF_postnet_output = self.mask_tensor(WVF_postnet_output, WVF_pos, max_frames)
