@@ -163,12 +163,17 @@ def _build_ours(iters: int = 24):
     return audio_seconds / t_e2e, audio_seconds / t_voc, np.asarray(latents)
 
 
-def _measure_reference_vocoder(latents: np.ndarray, iters: int = 10):
+def _measure_reference_vocoder(latents: np.ndarray, iters: int = 20):
     """Reference PyTorch Generator on CPU over the same latents (config 1).
 
-    Median of ``iters`` >= 10 timed forwards: on a contended few-core host a
-    2-iteration mean swung the recorded ratio 153.5 -> 201.3 -> 332.8 across
-    runs; the median of 10 is stable to a few percent."""
+    Best (min-time) of ``iters`` >= 20 timed forwards: this 1-vCPU host is a
+    shared VM with variable hypervisor steal — a 2-iteration mean swung the
+    recorded ratio 153.5 -> 201.3 -> 332.8 across runs, and even 20-run
+    medians varied 10.96-13.03x across processes.  The min is the
+    least-contended sample, i.e. the closest to the reference's true
+    hardware cost and the most charitable to it (smallest vs_baseline).
+    NOTE: any concurrent CPU load still slows every iteration and INFLATES
+    vs_baseline; run bench.py alone."""
     import importlib.util
 
     import torch
@@ -197,7 +202,7 @@ def _measure_reference_vocoder(latents: np.ndarray, iters: int = 10):
                 t0 = time.perf_counter()
                 y = g(x, spk, noise)
                 ts.append(time.perf_counter() - t0)
-            dt = float(np.median(ts))
+            dt = float(np.min(ts))
         audio_seconds = y.shape[-1] / hp.sampling_rate
         return audio_seconds / dt
     finally:
@@ -206,11 +211,49 @@ def _measure_reference_vocoder(latents: np.ndarray, iters: int = 10):
             sys.modules.pop(k, None)
 
 
+def _supervise(argv):
+    """Self-supervising launcher: run the real bench in a CHILD process and
+    retry if it hangs.
+
+    ~half of fresh-process launches in this environment hang indefinitely at
+    TPU acquisition (tunnel re-establishment) BEFORE any timed region — they
+    produce no output at all rather than a bad number, and a killed hung
+    process is reliably followed by a successful one.  The supervisor gives
+    each attempt ``timeout`` seconds (a good run takes ~150-180 s incl. the
+    torch baseline), kills a hung child, waits, and relaunches — so a single
+    driver invocation of ``python bench.py`` always yields a number.
+    """
+    import subprocess
+
+    timeout, attempts = 420.0, 3
+    env = dict(os.environ)
+    env["WAVTHRUVEC_BENCH_CHILD"] = "1"
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + argv,
+                timeout=timeout, env=env)
+            if proc.returncode == 0:
+                return 0
+            print(f"# bench child exited rc={proc.returncode} "
+                  f"(attempt {attempt + 1}/{attempts})", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# bench child hung >{timeout:.0f}s at TPU acquisition; "
+                  f"retrying (attempt {attempt + 1}/{attempts})",
+                  file=sys.stderr)
+        time.sleep(20)  # let the tunnel settle before re-acquiring
+    print("# all bench attempts failed", file=sys.stderr)
+    return 1
+
+
 def main():
     ours_e2e_xrt, ours_voc_xrt, latents = _build_ours()
     try:
         ref_voc_xrt = _measure_reference_vocoder(latents)
         vs_baseline = ours_voc_xrt / ref_voc_xrt
+        print(f"# components: ours_e2e={ours_e2e_xrt:.1f}x "
+              f"ours_voc={ours_voc_xrt:.1f}x ref_voc_cpu={ref_voc_xrt:.2f}x",
+              file=sys.stderr)
     except Exception as e:  # reference not runnable -> no ratio
         print(f"# reference measurement failed: {e}", file=sys.stderr)
         vs_baseline = -1.0
@@ -224,4 +267,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("WAVTHRUVEC_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise(sys.argv[1:]))

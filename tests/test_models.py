@@ -355,3 +355,40 @@ def test_flash_attention_flag_cpu_fallback(t2v_setup):
         np.asarray(out["feat_postnet_output"]),
         np.asarray(out_f["feat_postnet_output"]),
     )
+
+
+def test_flash_attention_dropout_guard(t2v_setup):
+    """flash + attention-prob dropout in a training (non-deterministic)
+    forward must hard-error: the Pallas kernel cannot apply the reference's
+    attention dropout (subLayer.py:43-55), and silently skipping it on flash
+    buckets while keeping it on dense ones would change training math.
+    dropout=0 trains fine; deterministic forwards are always fine."""
+    import dataclasses
+
+    import pytest
+
+    from wavthruvec_pytorch_tpu.models.fft_block import FFTBlock
+
+    blk = FFTBlock(32, 64, 2, 16, 16, dropout=0.1, use_flash=True)
+    x = jnp.zeros((1, 16, 32), jnp.float32)
+    variables = blk.init(
+        {"params": jax.random.PRNGKey(0)}, x, deterministic=True)
+    with pytest.raises(ValueError, match="attention-prob dropout"):
+        blk.apply(variables, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+
+    blk0 = FFTBlock(32, 64, 2, 16, 16, dropout=0.0, use_flash=True)
+    vars0 = blk0.init({"params": jax.random.PRNGKey(0)}, x, deterministic=True)
+    blk0.apply(vars0, x, deterministic=False,
+               rngs={"dropout": jax.random.PRNGKey(1)})  # no error
+
+    # whole-model guard: training branch with flash + default dropout errors
+    cfg, model, variables, batch = t2v_setup
+    cfg_f = dataclasses.replace(cfg, flash_attention=True)
+    model_f = Text2Vec(cfg_f)
+    src_seq, src_pos, wav_feat, in_lens, out_lens, WVF_pos, prior = batch
+    with pytest.raises(ValueError, match="attention-prob dropout"):
+        model_f.apply(
+            variables, src_seq, src_pos, wav_feat, in_lens, out_lens,
+            WVF_pos, attn_prior=prior, deterministic=False, train_bn=False,
+            rngs={"dropout": jax.random.PRNGKey(1)})

@@ -205,3 +205,41 @@ def test_two_process_loop_validation_and_divergent_buckets(tmp_path):
                 _, pid, step_n = line.split()
                 done[int(pid)] = int(step_n)
     assert done == {0: max_steps, 1: max_steps}
+
+
+@pytest.mark.slow
+def test_two_process_production_gan_loop(tmp_path):
+    """The PRODUCTION Vec2Wav GAN loop (vec2wav_loop.main) runs 2-process
+    end-to-end in windowed mode with one ``validate()`` call inside —
+    covering the global->host-local state conversion at
+    train/vec2wav_loop.py:59-65 (a collective every process must join) on
+    top of filelist sharding and globalize_state.  Replaces the reference's
+    never-tested DDP path (vec2wav/train.py:58-60,114).  Both processes must
+    finish the same step count and agree on the validation mel error (the
+    state is replicated, items are the full val set on each host)."""
+    num_procs, max_steps = 2, 3
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_gan_worker.py")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(num_procs), str(i),
+             os.path.join(root, "data", "demo"), str(tmp_path), str(max_steps)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            cwd=root,
+        )
+        for i in range(num_procs)
+    ]
+    done, val_errs = {}, {}
+    for p in procs:
+        out, err = p.communicate(timeout=2400)
+        assert p.returncode == 0, f"gan loop worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("GANHOST_DONE"):
+                _, pid, step_n, mel_err = line.split()
+                done[int(pid)] = int(step_n)
+                val_errs[int(pid)] = float(mel_err)
+    assert done == {0: max_steps, 1: max_steps}
+    assert val_errs[0] == pytest.approx(val_errs[1], rel=1e-4)

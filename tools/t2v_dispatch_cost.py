@@ -1,12 +1,14 @@
 """Isolate host-side dispatch cost of the t2v production step: how much of
-the chained 149 ms step is marshaling the 345-leaf train state through the
-runtime vs device compute.
+the chained 149 ms step is marshaling the 1126-leaf train state through the
+runtime vs device compute (leaf count printed as ``n_leaves``).
 
 Times, all chained (sequential dependence, one final fetch):
   * state identity: jitted f(state)->state with donation  (pure marshaling)
-  * step returning scalars only (no new state)            (compute w/o state I/O)
-  * the production step                                   (both)
-"""
+  * the production step (chained / fetch-each / deferred-fetch variants)
+
+Output protocol: progress lines go to STDERR; stdout carries exactly ONE
+JSON object (the final cumulative result) so consumers can json.loads the
+whole stdout."""
 
 import json
 import os
@@ -62,7 +64,7 @@ def main(B=16, N=64, T=1024, n=10):
         lambda s: (s, jnp.float32(0.0) + s.step), donate_argnums=(0,))
     ms, state = chain_state(ident, state)
     res["identity_state_ms"] = round(ms, 1)
-    print(json.dumps(res), flush=True)
+    print(json.dumps(res), file=sys.stderr, flush=True)
 
     # 2. production step
     step, _ = t2v.make_train_step(model, cfg)
@@ -70,7 +72,7 @@ def main(B=16, N=64, T=1024, n=10):
         lambda s: step(s, batch, key), state,
         fetch=lambda m: float(m["total_loss"]))
     res["full_step_chained_ms"] = round(ms, 1)
-    print(json.dumps(res), flush=True)
+    print(json.dumps(res), file=sys.stderr, flush=True)
 
     # 3. production step, fetching metrics EVERY call (train_bench style).
     # The step donates its state argument, so every call must rebind.
@@ -83,7 +85,7 @@ def main(B=16, N=64, T=1024, n=10):
         float(m["total_loss"])
         ts.append(time.perf_counter() - t0)
     res["full_step_fetch_each_ms"] = round(float(np.median(ts)) * 1e3, 1)
-    print(json.dumps(res), flush=True)
+    print(json.dumps(res), file=sys.stderr, flush=True)
 
     # 4. the production loop's new pattern: double-buffered emit (fetch
     # step i-1's metrics after dispatching step i)

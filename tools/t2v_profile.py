@@ -157,6 +157,90 @@ def main(B=16, N=64, T=1024):
 
     profile_module("duration_predictor", dp, dpv, dp_call, res, overhead)
 
+    # --- Encoder FFT stack at (B, N, 448) (post-speaker-concat width) ---
+    from wavthruvec_pytorch_tpu.models.fft_block import FFTBlock
+
+    d_model = cfg.encoder_output_dim
+    d_k = d_model // cfg.encoder_head
+    enc_blocks = [
+        FFTBlock(d_model, cfg.encoder_conv1d_filter_size, cfg.encoder_head,
+                 d_k, d_k, fft_conv1d_kernel=cfg.fft_conv1d_kernel,
+                 fft_conv1d_padding=cfg.fft_conv1d_padding,
+                 dropout=cfg.dropout)
+        for _ in range(cfg.encoder_n_layer)
+    ]
+    evars = [b.init({"params": key, "dropout": key}, enc_out,
+                    deterministic=True) for b in enc_blocks]
+
+    def enc_call(vs, eps):
+        x = enc_out + eps
+        for b, v in zip(enc_blocks, vs):
+            x, _ = b.apply(v, x, deterministic=False, rngs={"dropout": key})
+        return jnp.sum(x[:, :, :1])
+
+    profile_module("encoder_stack", None, evars, enc_call, res, overhead)
+
+    # --- LR expansion einsum: attn_hard [B,T,N] @ enc_out [B,N,448] ---
+    hard = jnp.zeros((B, T, N), jnp.float32).at[:, :, 0].set(1.0)
+
+    def lr_call(v, eps):
+        out = jnp.einsum("btn,bnc->btc", hard, v + eps,
+                         preferred_element_type=jnp.float32)
+        return jnp.sum(out[:, ::16, :1])
+
+    profile_module("lr_expansion", None, enc_out, lr_call, res, overhead)
+
+    # --- output linears: WVF_linear (448->1024) + last_linear (2048->1024) ---
+    from wavthruvec_pytorch_tpu.models.layers import Linear
+
+    lin1 = Linear(cfg.n_feat_dim, w_init_gain="linear")
+    lin2 = Linear(cfg.n_feat_dim, w_init_gain="linear")
+    dec_out = jnp.asarray(
+        rng.standard_normal((B, T, cfg.decoder_model_dim)), jnp.float32)
+    cbhg_out = jnp.asarray(
+        rng.standard_normal((B, T, 2 * cfg.n_feat_dim)), jnp.float32)
+    l1v = lin1.init(key, dec_out)
+    l2v = lin2.init(key, cbhg_out)
+
+    def lin_call(vs, eps):
+        a = lin1.apply(vs[0], dec_out + eps)
+        b = lin2.apply(vs[1], cbhg_out + eps)
+        return jnp.sum(a[:, ::16, :1]) + jnp.sum(b[:, ::16, :1])
+
+    profile_module("output_linears", None, (l1v, l2v), lin_call, res, overhead)
+
+    # --- loss terms: 3x masked MSE + attention binarization ---
+    from wavthruvec_pytorch_tpu.models.losses import (
+        attention_binarization_loss,
+        dnn_loss,
+    )
+
+    feat = jnp.asarray(rng.standard_normal((B, T, cfg.n_feat_dim)), jnp.float32)
+    target = feat * 0.9
+    dur = jnp.ones((B, N), jnp.float32)
+    soft_l = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32), axis=-1)
+    hard_l = (soft_l == soft_l.max(-1, keepdims=True)).astype(jnp.float32)
+
+    def loss_call(v, eps):
+        l1, l2, l3 = dnn_loss(v + eps, feat * 0.99 + eps, target,
+                              dur + eps, dur)
+        lb = attention_binarization_loss(hard_l, soft_l + eps)
+        return l1 + l2 + l3 + lb
+
+    profile_module("losses", None, feat, loss_call, res, overhead)
+
+    # --- dropout mask generation at the big shapes (PRNG cost) ---
+    def drop_call(v, eps):
+        k = jax.random.fold_in(key, 0)
+        m1 = jax.random.bernoulli(k, 0.9, (B, T, cfg.decoder_model_dim))
+        m2 = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.9,
+                                  (B, T, cfg.decoder_conv1d_filter_size))
+        return jnp.sum(m1[:, ::64, :1]) + jnp.sum(m2[:, ::64, :1]) + eps
+
+    profile_module("dropout_masks", None, jnp.float32(0), drop_call, res,
+                   overhead, grad=False)
+
     print(json.dumps(res), flush=True)
 
     # --- full step pieces: fwd-only loss, fwd+bwd, LAMB, full step ---

@@ -80,8 +80,18 @@ class MultiHeadAttention(nn.Module):
         # softmax via segment ids (pads segment 0, real tokens 1 — pad-query
         # rows differ but are zeroed by the FFT block's non-pad mask, like
         # the reference's post-sublayer masking); attention-prob dropout is
-        # NOT applied inside the kernel (output-proj dropout still is) — an
-        # intentional deviation only when flash_attention=True (default off).
+        # NOT applied inside the kernel (output-proj dropout still is).
+        # A non-deterministic (training) forward with dropout > 0 therefore
+        # CANNOT run with flash enabled — it would silently drop the
+        # reference's attention-prob dropout (subLayer.py:43-55) on flash
+        # buckets while keeping it on dense ones.  Hard error instead:
+        if self.use_flash and not deterministic and self.dropout > 0:
+            raise ValueError(
+                "flash_attention=True cannot apply attention-prob dropout "
+                f"(dropout={self.dropout}) in a non-deterministic forward; "
+                "train with dropout=0.0 (documented deviation) or disable "
+                "flash_attention for training"
+            )
         if (
             self.use_flash
             and self.d_v == self.d_k

@@ -231,7 +231,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     pending = None
 
     def emit(pend):
-        it, ep, metrics, audiopaths, log_in_len, log_out_len = pend
+        it, ep, metrics, audiopaths, log_in_len, log_out_len, lr = pend
         if it % args.scalar_log_step == 0:
             for tag in ("total_loss", "WVF_loss", "WVF_postnet_loss",
                         "duration_loss", "attn_binarization_loss"):
@@ -246,9 +246,11 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                     float(metrics["WVF_postnet_loss"]),
                     float(metrics["attn_binarization_loss"]),
                 ),
-                "Current Learning Rate is {:.6f}.".format(
-                    float(state.opt_state.hyperparams["learning_rate"])
-                ),
+                # lr captured at dispatch time (the pre-step state's value):
+                # reading the live closure state here would both block on the
+                # just-dispatched step (re-adding the sync the deferral
+                # removes) and log the NEXT step's lr under any lr schedule
+                "Current Learning Rate is {:.6f}.".format(float(lr)),
                 "Time Used: {:.3f}s, Estimated Remaining: {:.3f}s.".format(
                     elapsed, (total_step - it) * timer.mean
                 ),
@@ -266,54 +268,70 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                     "train/attention_weights_mas(align_hard)",
                     plot_alignment_to_numpy(hard, title=name), it)
 
-    for epoch in range(cfg.epochs):
-        for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
-            audiopaths = batch.pop("audiopaths")
-            # host-side copies for logging (sharded device arrays are not
-            # addressable across hosts under multi-process training)
-            log_in_len = int(batch["input_lengths"][0])
-            log_out_len = int(batch["output_lengths"][0])
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            rng, sub = jax.random.split(rng)
-            # profiling hook (aux subsystem the reference lacks, SURVEY.md §5)
-            if args.profile_dir and iteration == 3:
-                jax.profiler.start_trace(args.profile_dir)
-            state, metrics = step_fn(state, batch, sub)
-            if args.profile_dir and iteration == 8:
-                jax.profiler.stop_trace()
-            iteration += 1
-            timer.tick()
+    # try/finally: on ANY exit (clean, max_steps, crash, interrupt) the last
+    # completed step's deferred logs are emitted and the logger flushed —
+    # without it a crash silently drops the final step's scalars/images.
+    # Note the deferral shifts log-line ORDER: step i's text log appears
+    # after step i's checkpoint/validation messages (content is unchanged).
+    try:
+        for epoch in range(cfg.epochs):
+            for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
+                audiopaths = batch.pop("audiopaths")
+                # host-side copies for logging (sharded device arrays are not
+                # addressable across hosts under multi-process training)
+                log_in_len = int(batch["input_lengths"][0])
+                log_out_len = int(batch["output_lengths"][0])
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                rng, sub = jax.random.split(rng)
+                # the lr this step applies = the PRE-step state's value.  The
+                # step donates its state arg, so the raw leaf is DELETED once
+                # the step is dispatched — copy it into a fresh buffer (async,
+                # never blocks), and only on iterations whose emit will
+                # actually print the text log (no per-step extra dispatch).
+                lr_ref = None
+                if (iteration + 1) % cfg.log_step == 0:
+                    lr_ref = jnp.add(
+                        state.opt_state.hyperparams["learning_rate"], 0.0)
+                # profiling hook (aux subsystem the reference lacks, SURVEY.md §5)
+                if args.profile_dir and iteration == 3:
+                    jax.profiler.start_trace(args.profile_dir)
+                state, metrics = step_fn(state, batch, sub)
+                if args.profile_dir and iteration == 8:
+                    jax.profiler.stop_trace()
+                iteration += 1
+                timer.tick()
 
-            if pending is not None:
-                emit(pending)
-            pending = (iteration, epoch, metrics, audiopaths,
-                       log_in_len, log_out_len)
-
-            if iteration % cfg.save_step == 0:
-                path = os.path.join(cfg.checkpoint_path, f"checkpoint_{iteration}")
-                ckpt.save_checkpoint(path, jax.device_get(state))
-                print(f"save model at step {iteration} ...")
-
-            if val_loader is not None and iteration % cfg.val_step == 0:
-                vals = compute_validation_loss(
-                    model, cfg, state, val_loader, logger, iteration,
-                    val_fn=val_fn, mesh=mesh,
-                )
-                logger.text(
-                    f"Validation at step {iteration}: "
-                    + ", ".join(f"{k}: {v:.4f}" for k, v in vals.items())
-                )
-
-            if args.max_steps and iteration >= args.max_steps:
                 if pending is not None:
                     emit(pending)
-                logger.flush()
-                return state
-    if pending is not None:
-        emit(pending)
-    logger.flush()
+                pending = (iteration, epoch, metrics, audiopaths,
+                           log_in_len, log_out_len, lr_ref)
+
+                if iteration % cfg.save_step == 0:
+                    path = os.path.join(cfg.checkpoint_path, f"checkpoint_{iteration}")
+                    ckpt.save_checkpoint(path, jax.device_get(state))
+                    print(f"save model at step {iteration} ...")
+
+                if val_loader is not None and iteration % cfg.val_step == 0:
+                    vals = compute_validation_loss(
+                        model, cfg, state, val_loader, logger, iteration,
+                        val_fn=val_fn, mesh=mesh,
+                    )
+                    logger.text(
+                        f"Validation at step {iteration}: "
+                        + ", ".join(f"{k}: {v:.4f}" for k, v in vals.items())
+                    )
+
+                if args.max_steps and iteration >= args.max_steps:
+                    return state
+    finally:
+        if pending is not None:
+            try:  # best effort: never mask the original exception
+                emit(pending)
+            except Exception:
+                pass
+        logger.flush()
     return state
 
 
