@@ -392,3 +392,46 @@ def test_flash_attention_dropout_guard(t2v_setup):
             variables, src_seq, src_pos, wav_feat, in_lens, out_lens,
             WVF_pos, attn_prior=prior, deterministic=False, train_bn=False,
             rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+def test_msd_tiled_conv_matches_lax():
+    """MSD with tiled_conv=True (MXU-packed grouped convs, ops/tiled_conv.py)
+    must reproduce the plain lowering's outputs and parameter grads — same
+    params, same math, different schedule."""
+    rng = np.random.default_rng(5)
+    B, T = 2, 352
+    y = jnp.asarray(rng.standard_normal((B, T, 1)).clip(-1, 1), jnp.float32)
+    y_hat = jnp.asarray(
+        rng.standard_normal((B, T, 1)).clip(-1, 1), jnp.float32)
+
+    msd = MultiScaleDiscriminator(update_spectral=False)
+    msd_t = MultiScaleDiscriminator(update_spectral=False, tiled_conv=True)
+    msd_vars = msd.init(jax.random.PRNGKey(1), y, y_hat)
+    out_a = msd.apply(msd_vars, y, y_hat)
+    out_b = msd_t.apply(msd_vars, y, y_hat)
+    for a, b in zip(jax.tree_util.tree_leaves(out_a),
+                    jax.tree_util.tree_leaves(out_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) <= 2e-5 * scale
+
+    def d_loss(mod):
+        def f(params):
+            vs = {**msd_vars, "params": params}
+            y_d_rs, y_d_gs, fr, fg = mod.apply(vs, y, y_hat)
+            from wavthruvec_pytorch_tpu.models.vec2wav import (
+                discriminator_loss,
+                feature_loss,
+            )
+
+            dl, _, _ = discriminator_loss(y_d_rs, y_d_gs)
+            return dl + feature_loss(fr, fg)
+        return jax.grad(f)(msd_vars["params"])
+
+    ga, gb = d_loss(msd), d_loss(msd_t)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = jax.tree_util.tree_leaves(gb)
+    for (path, a), b in zip(flat_a, flat_b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-3, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) <= 5e-5 * scale, path

@@ -318,3 +318,54 @@ def test_fused_conv_residual_gate_and_reference():
     assert not fused_supported((B, T, 64), 64, k, 1, 1, pad, d, jnp.float32)  # C%128
     assert not fused_supported((B, T + 4, C), C, k, 1, 1, pad, d, jnp.float32)  # T%8
     assert not fused_supported((B, T, C), C, k, 2, 1, pad, d, jnp.float32)  # stride
+
+
+def test_mxu_tiled_grouped_conv_values_and_grads():
+    """ops/tiled_conv.mxu_grouped_conv1d == lax grouped conv (the MSD repack,
+    reference shapes vec2wav/models.py:218-243) for values AND both grads,
+    across strides/groups incl. non-dividing tile edges."""
+    import jax
+
+    from wavthruvec_pytorch_tpu.ops.tiled_conv import (
+        mxu_grouped_conv1d,
+        reference_grouped_conv1d,
+        tiled_conv_supported,
+    )
+
+    rng = np.random.default_rng(7)
+    for (B, T, G, ci, co, k, s, p) in [
+        (2, 203, 4, 32, 32, 41, 2, 20),   # MSD layer-1 shape family
+        (2, 101, 16, 8, 16, 41, 2, 20),   # MSD layer-2 (the hot one)
+        (1, 57, 16, 16, 32, 41, 4, 20),
+        (1, 40, 16, 64, 64, 41, 1, 20),
+        (2, 64, 2, 4, 8, 5, 1, 2),
+    ]:
+        x = jnp.asarray(rng.standard_normal((B, T, G * ci)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((k, ci, G * co)) * 0.1, jnp.float32)
+        a = mxu_grouped_conv1d(x, w, s, p, G)
+        b = reference_grouped_conv1d(x, w, s, p, G)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-5)
+
+        def loss_t(x_, w_):
+            out = mxu_grouped_conv1d(x_, w_, s, p, G)
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_r(x_, w_):
+            out = reference_grouped_conv1d(x_, w_, s, p, G)
+            return jnp.sum(out * jnp.cos(out))
+
+        gx_t, gw_t = jax.grad(loss_t, argnums=(0, 1))(x, w)
+        gx_r, gw_r = jax.grad(loss_r, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(
+            np.asarray(gx_t), np.asarray(gx_r), atol=5e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(gw_t), np.asarray(gw_r), atol=5e-3, rtol=1e-4)
+
+    # gate: dense / dilated / wide-per-group layers stay on lax
+    assert tiled_conv_supported(41, 2, 1, 16, 256)
+    assert not tiled_conv_supported(41, 2, 1, 1, 128)     # dense
+    assert not tiled_conv_supported(41, 2, 2, 16, 256)    # dilated
+    assert not tiled_conv_supported(41, 2, 1, 2, 512)     # co/G = 256

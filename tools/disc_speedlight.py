@@ -87,6 +87,8 @@ def main():
     ap.add_argument("--B", type=int, default=256)
     ap.add_argument("--T", type=int, default=8000)
     ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32")
+    ap.add_argument("--tiled", action="store_true",
+                    help="MSD grouped convs via ops/tiled_conv repack")
     a = ap.parse_args()
     _cache()
 
@@ -101,22 +103,23 @@ def main():
         return eps * 2.0
 
     overhead = _t(null)
-    res = {"B": a.B, "T": a.T, "dtype": a.dtype,
+    res = {"B": a.B, "T": a.T, "dtype": a.dtype, "tiled": a.tiled,
            "overhead_ms": round(overhead * 1e3, 2)}
     total_ms = {"fwd": 0.0, "fwd_bwd": 0.0}
     total_fl = {"fwd": 0.0, "fwd_bwd": 0.0}
 
     cases = [("msd_s0", DiscriminatorS(use_spectral_norm=True,
-                                       update_spectral=False, dtype=dtype),
+                                       update_spectral=False, dtype=dtype,
+                                       tiled_conv=a.tiled),
               msd_flops(a.T), x)]
     # scales 2,3 see avg-pooled input (reference models.py:265-268)
     from wavthruvec_pytorch_tpu.models.vec2wav import _avg_pool_4_2_pad2
 
     x2 = _avg_pool_4_2_pad2(x)
     x3 = _avg_pool_4_2_pad2(x2)
-    cases.append(("msd_s1", DiscriminatorS(dtype=dtype),
+    cases.append(("msd_s1", DiscriminatorS(dtype=dtype, tiled_conv=a.tiled),
                   msd_flops(x2.shape[1]), x2))
-    cases.append(("msd_s2", DiscriminatorS(dtype=dtype),
+    cases.append(("msd_s2", DiscriminatorS(dtype=dtype, tiled_conv=a.tiled),
                   msd_flops(x3.shape[1]), x3))
     for i, p in enumerate(cfg.periods):
         cases.append((f"mpd_p{p}", DiscriminatorP(p, dtype=dtype),

@@ -223,6 +223,12 @@ class Vec2WavConfig:
     # Math-identical for the convs; spectral-norm power iteration advances
     # once per step instead of twice (see PARITY.md).
     disc_pair_batched: bool = True
+    # Route the MSD grouped convs through the MXU-packed repack
+    # (ops/tiled_conv.py): identical math (equivalence-tested), measured
+    # multi-x faster fwd+bwd on chip — the plain grouped lowering runs the
+    # G=16 layers at ~1 TFLOP/s (tools/disc_grad_split.py, BENCH_NOTES
+    # "MSD grouped-conv repack").
+    msd_tiled_conv: bool = True
     # compute the mel-loss TARGET inside the jitted train step from the
     # batch audio instead of per-item on the host (reference computes it in
     # its Dataset, vec2wav/dataset.py:177-179).  For windowed (split=True)

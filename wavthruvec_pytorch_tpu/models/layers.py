@@ -369,6 +369,9 @@ class WNConv1d(nn.Module):
     # the caller.
     fuse_lrelu_residual: bool = False
     lrelu_slope: float = 0.1
+    # "mxu_tiled": route grouped convs through ops.tiled_conv (MXU-packed
+    # repack, measured 6-20x on the MSD G=16 layers); None = lax conv.
+    conv_impl: Optional[str] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -424,18 +427,37 @@ class WNConv1d(nn.Module):
                 out = out + bias.astype(dt)
             return out + x
 
-        out = lax.conv_general_dilated(
-            x.astype(dt),
-            kernel.astype(dt),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
+        out = _conv1d_impl(
+            x.astype(dt), kernel.astype(dt), self.stride, self.padding,
+            self.dilation, self.groups, self.conv_impl, self.features,
         )
         if bias is not None:
             out = out + bias.astype(dt)
         return out
+
+
+def _conv1d_impl(x, kernel, stride, padding, dilation, groups, conv_impl,
+                 features):
+    """lax conv or the MXU-packed repack (ops/tiled_conv.py) when selected
+    and applicable — identical semantics either way."""
+    if conv_impl == "mxu_tiled":
+        from wavthruvec_pytorch_tpu.ops.tiled_conv import (
+            mxu_grouped_conv1d,
+            tiled_conv_supported,
+        )
+
+        if tiled_conv_supported(kernel.shape[0], stride, dilation, groups,
+                                features):
+            return mxu_grouped_conv1d(x, kernel, stride, padding, groups)
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
 
 
 class WNConvTranspose1d(nn.Module):
@@ -631,6 +653,7 @@ class SpectralNormConv1d(nn.Module):
     use_bias: bool = True
     update_stats: bool = True
     eps: float = 1e-12
+    conv_impl: Optional[str] = None  # see WNConv1d
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -675,13 +698,9 @@ class SpectralNormConv1d(nn.Module):
         sigma = jnp.einsum("o,oi,i->", u_sg, w_mat, v_sg)
         kernel_sn = kernel / sigma
         dt = self.dtype or x.dtype
-        out = lax.conv_general_dilated(
-            x.astype(dt),
-            kernel_sn.astype(dt),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
+        out = _conv1d_impl(
+            x.astype(dt), kernel_sn.astype(dt), self.stride, self.padding,
+            1, self.groups, self.conv_impl, self.features,
         )
         if bias is not None:
             out = out + bias.astype(dt)

@@ -324,10 +324,17 @@ def _avg_pool_4_2_pad2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class DiscriminatorS(nn.Module):
-    """Single-scale grouped-conv discriminator (reference: models.py:218-243)."""
+    """Single-scale grouped-conv discriminator (reference: models.py:218-243).
+
+    ``tiled_conv=True`` routes the grouped layers through the MXU-packed
+    repack (ops/tiled_conv.py) — identical math, measured multi-x faster
+    fwd+bwd on chip (the G=16 layers run at ~1 TFLOP/s under the plain
+    grouped lowering).
+    """
 
     use_spectral_norm: bool = False
     update_spectral: bool = True
+    tiled_conv: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -342,18 +349,19 @@ class DiscriminatorS(nn.Module):
             (1024, 41, 1, 16, 20),
             (1024, 5, 1, 1, 2),
         ]
+        impl = "mxu_tiled" if self.tiled_conv else None
         fmap = []
         for i, (f, k, s, g, p) in enumerate(specs):
             if self.use_spectral_norm:
                 x = SpectralNormConv1d(
                     f, kernel_size=k, stride=s, groups=g, padding=p,
                     update_stats=self.update_spectral, dtype=self.dtype,
-                    name=f"convs_{i}",
+                    conv_impl=impl, name=f"convs_{i}",
                 )(x)
             else:
                 x = WNConv1d(
                     f, kernel_size=k, stride=s, groups=g, padding=p,
-                    dtype=self.dtype, name=f"convs_{i}",
+                    dtype=self.dtype, conv_impl=impl, name=f"convs_{i}",
                 )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
@@ -384,6 +392,7 @@ class MultiScaleDiscriminator(nn.Module):
     """
 
     update_spectral: bool = True
+    tiled_conv: bool = False
     dtype: Optional[jnp.dtype] = None
     pair_batched: bool = False
 
@@ -398,6 +407,7 @@ class MultiScaleDiscriminator(nn.Module):
             d = DiscriminatorS(
                 use_spectral_norm=(i == 0),
                 update_spectral=self.update_spectral,
+                tiled_conv=self.tiled_conv,
                 dtype=self.dtype,
                 name=f"discriminators_{i}",
             )

@@ -86,7 +86,8 @@ def init_state(
         cfg, dtype=dtype, pair_batched=cfg.disc_pair_batched
     )
     msd = MultiScaleDiscriminator(
-        dtype=dtype, pair_batched=cfg.disc_pair_batched
+        dtype=dtype, pair_batched=cfg.disc_pair_batched,
+        tiled_conv=cfg.msd_tiled_conv,
     )
 
     g_rng, d_rng, n_rng = jax.random.split(rng, 3)
