@@ -394,10 +394,15 @@ def test_flash_attention_dropout_guard(t2v_setup):
             rngs={"dropout": jax.random.PRNGKey(1)})
 
 
-def test_msd_tiled_conv_matches_lax():
+def test_msd_tiled_conv_matches_lax(monkeypatch):
     """MSD with tiled_conv=True (MXU-packed grouped convs, ops/tiled_conv.py)
     must reproduce the plain lowering's outputs and parameter grads — same
-    params, same math, different schedule."""
+    params, same math, different schedule.  The length gate (MIN_T_IN,
+    measured crossover on chip) is forced open so the tiny test shape
+    actually exercises the repack."""
+    from wavthruvec_pytorch_tpu.ops import tiled_conv
+
+    monkeypatch.setattr(tiled_conv, "MIN_T_IN", 0)
     rng = np.random.default_rng(5)
     B, T = 2, 352
     y = jnp.asarray(rng.standard_normal((B, T, 1)).clip(-1, 1), jnp.float32)

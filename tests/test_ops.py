@@ -364,8 +364,10 @@ def test_mxu_tiled_grouped_conv_values_and_grads():
         np.testing.assert_allclose(
             np.asarray(gw_t), np.asarray(gw_r), atol=5e-3, rtol=1e-4)
 
-    # gate: dense / dilated / wide-per-group layers stay on lax
+    # gate: dense / dilated / wide-per-group / short-input layers stay on lax
     assert tiled_conv_supported(41, 2, 1, 16, 256)
+    assert tiled_conv_supported(41, 2, 1, 16, 256, t_in=80000)
+    assert not tiled_conv_supported(41, 2, 1, 16, 256, t_in=8000)  # short T
     assert not tiled_conv_supported(41, 2, 1, 1, 128)     # dense
     assert not tiled_conv_supported(41, 2, 2, 16, 256)    # dilated
     assert not tiled_conv_supported(41, 2, 1, 2, 512)     # co/G = 256

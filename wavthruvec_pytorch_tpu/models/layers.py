@@ -447,7 +447,7 @@ def _conv1d_impl(x, kernel, stride, padding, dilation, groups, conv_impl,
         )
 
         if tiled_conv_supported(kernel.shape[0], stride, dilation, groups,
-                                features):
+                                features, t_in=x.shape[1]):
             return mxu_grouped_conv1d(x, kernel, stride, padding, groups)
     return lax.conv_general_dilated(
         x,
