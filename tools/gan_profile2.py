@@ -146,4 +146,10 @@ def main(B=2, T=256):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=2)
+    ap.add_argument("--T", type=int, default=256)
+    a = ap.parse_args()
+    main(a.B, a.T)
