@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -34,7 +35,8 @@ def _timeit(run_once, iters=10):
     return float(np.median(ts[2:]))
 
 
-def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False):
+def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False,
+              dropout=None):
     import dataclasses
 
     import jax
@@ -47,6 +49,8 @@ def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False):
         Text2VecConfig(), compute_dtype=dtype, remat=remat,
         flash_attention=flash,
     )
+    if dropout is not None:
+        cfg = dataclasses.replace(cfg, dropout=dropout)
     rng = np.random.default_rng(0)
     items = []
     for i in range(B):
@@ -75,12 +79,22 @@ def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False):
         float(m["total_loss"])  # forces completion
 
     dt = _timeit(once)
+    mem = {}
+    try:  # peak HBM (the flash-vs-dense long-bucket story)
+        stats = jax.devices()[0].memory_stats() or {}
+        for k in ("peak_bytes_in_use", "bytes_in_use", "bytes_limit"):
+            if k in stats:
+                mem[k + "_gb"] = round(stats[k] / 2**30, 2)
+    except Exception:
+        pass
     return {
         "stage": "text2vec_train_step",
         "batch": B, "text_pad": N, "frame_pad": T,
         "dtype": dtype, "remat": remat, "flash": flash,
+        "dropout": cfg.dropout,
         "sec_per_step": round(dt, 4),
         "steps_per_sec": round(1.0 / dt, 3),
+        **mem,
     }
 
 
@@ -168,12 +182,53 @@ def sweep_v2w():
     return out
 
 
+def sweep_t2v_flash():
+    """Long-bucket (3072-frame) training step, flash vs dense, + peak HBM.
+
+    dropout=0.0 on every row: the flash kernel cannot apply attention-prob
+    dropout (hard-erroring guard, models/fft_block.py), so the apples-to-
+    apples comparison holds math constant across rows.  NOTE: each config
+    is a separate PROCESS-level peak; run rows independently for clean
+    memory numbers (this sweep reports in-process peaks, which are upper
+    bounds for later rows)."""
+    out = []
+    for B, T, dt, rm, fl in [
+        (16, 3072, "bfloat16", False, False),
+        (16, 3072, "bfloat16", False, True),
+        (16, 3072, "bfloat16", True, True),
+    ]:
+        try:
+            r = bench_t2v(B=B, T=T, dtype=dt, remat=rm, flash=fl, dropout=0.0)
+        except Exception as e:  # OOM is a result, not a failure
+            r = {"stage": "text2vec_train_step", "batch": B, "frame_pad": T,
+                 "dtype": dt, "remat": rm, "flash": fl,
+                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print(json.dumps(r), flush=True)
+        out.append(r)
+    return out
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="both",
-                   choices=["t2v", "v2w", "both", "v2w-sweep", "t2v-sweep"])
+                   choices=["t2v", "v2w", "both", "v2w-sweep", "t2v-sweep",
+                            "t2v-flash"])
+    p.add_argument("--B", type=int, default=None)
+    p.add_argument("--T", type=int, default=None)
+    p.add_argument("--flash", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--dropout0", action="store_true",
+                   help="zero attention/ffn dropout (flash rows force this; "
+                        "pass it on dense rows for apples-to-apples)")
     a = p.parse_args()
     _cache()
+    if a.stage == "t2v" and (a.B or a.T or a.flash or a.dtype):
+        print(json.dumps(bench_t2v(
+            B=a.B or 16, T=a.T or 1024, dtype=a.dtype or "float32",
+            remat=a.remat, flash=a.flash,
+            dropout=0.0 if (a.flash or a.dropout0) else None)))
+        sys.exit(0)
     if a.stage in ("t2v", "both"):
         print(json.dumps(bench_t2v()))
     if a.stage in ("v2w", "both"):
@@ -182,3 +237,5 @@ if __name__ == "__main__":
         sweep_v2w()
     if a.stage == "t2v-sweep":
         sweep_t2v()
+    if a.stage == "t2v-flash":
+        sweep_t2v_flash()
