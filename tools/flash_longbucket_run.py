@@ -1,0 +1,120 @@
+"""Real long-bucket (3072-frame) Text2Vec training with flash attention ON,
+through the PRODUCTION loop (prefetch, TB logging, checkpointing).
+
+The flash path (Text2VecConfig.flash_attention) is guarded against the
+attention-prob-dropout deviation (models/fft_block.py raises when
+flash & dropout>0 & non-deterministic), on-chip validated for equivalence
+(tools/flash_check.py) and step-timed (train_bench --stage t2v-flash).
+What was missing is a REAL training run at the long bucket: this generates
+an AISHELL-3-shaped corpus whose utterances extend to ~3,000 latent frames
+(the reference's max_seq_len cap, text2vec/hparams.py:24), then trains the
+full-size model at frame bucket 3072 / text bucket 448, bf16, dropout 0,
+and reports steps/s + loss trajectory + peak HBM.
+
+    python tools/flash_longbucket_run.py [--steps 100] [--batch 16]
+        [--no_flash]   # dense A/B at the same shapes
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/long_demo"
+ART = "artifacts/flash_longbucket"
+
+
+def _cache():
+    import jax
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--no_flash", action="store_true")
+    p.add_argument("--n_utts", type=int, default=12, help="per speaker")
+    a = p.parse_args()
+    _cache()
+
+    import jax
+
+    from wavthruvec_pytorch_tpu.config import Text2VecConfig, load_config
+    from wavthruvec_pytorch_tpu.data.demo import make_demo_data
+    from wavthruvec_pytorch_tpu.train import text2vec_loop
+
+    if not os.path.exists(os.path.join(ROOT, "text2vec.json")):
+        make_demo_data(root=ROOT, n_speakers=2, n_utts=a.n_utts,
+                       frames=(2048, 3600), max_frames=3040, seed=7)
+    tag = "dense" if a.no_flash else "flash"
+    cfg = load_config(Text2VecConfig, os.path.join(ROOT, "text2vec.json"))
+    cfg = dataclasses.replace(
+        cfg,
+        run_path=f"{ART}/{tag}",
+        log_seed="longbucket",
+        epochs=10**6,
+        batch_size=a.batch,
+        batch_expand_size=1,
+        text_buckets=(448,),
+        frame_buckets=(3072,),
+        compute_dtype="bfloat16",
+        flash_attention=not a.no_flash,
+        dropout=0.0,  # flash kernel cannot apply attention-prob dropout
+        log_step=20,
+        save_step=max(50, a.steps),
+        val_step=10**9,
+    )
+    args = text2vec_loop.parse_args(
+        ["--max_steps", str(a.steps), "--scalar_log_step", "1"])
+    t0 = time.perf_counter()
+    state = text2vec_loop.main(args, cfg)
+    wall = time.perf_counter() - t0
+
+    mem = {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        for k in ("peak_bytes_in_use", "bytes_in_use", "bytes_limit"):
+            if k in stats:
+                mem[k + "_gb"] = round(stats[k] / 2**30, 2)
+    except Exception:
+        pass
+
+    # steady-state steps/s from the TB wall-clock of the last half
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(cfg.tensorboard_logs_path)
+    acc.Reload()
+    out = {"mode": tag, "batch": a.batch, "frame_bucket": 3072,
+           "text_bucket": 448, "dtype": "bfloat16", "dropout": 0.0,
+           "steps": int(state.step), "wall_s_incl_compile": round(wall, 1),
+           **mem}
+    for tag_name in acc.Tags().get("scalars", []):
+        ev = acc.Scalars(tag_name)
+        if len(ev) >= 4:
+            half = ev[len(ev) // 2:]
+            if tag_name.startswith("train/"):
+                out[tag_name + "_last"] = round(float(ev[-1].value), 4)
+            sec = half[-1].wall_time - half[0].wall_time
+            steps = half[-1].step - half[0].step
+            if steps > 0 and "total" in tag_name:
+                out["steady_sec_per_step"] = round(sec / steps, 4)
+    os.makedirs(ART, exist_ok=True)
+    with open(f"{ART}/{tag}_summary.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,10 +40,19 @@ def _cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _chained(fn, n=10):
+def _mark(msg):
+    print(f"[gap +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def _chained(fn, n=10, label=""):
     """Median of per-call time over a chain of queued dispatches."""
     for _ in range(2):
         float(fn(jnp.float32(0.0)))
+    _mark(f"{label}: compiled/warm")
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
     for i in range(n):
@@ -70,7 +79,9 @@ def main(B=16, N=64, T=1024):
         cfg, text_pad=N, frame_pad=T,
     )
     batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopaths"}
+    _mark("batch on device; building state")
     model, state = t2v.init_state(cfg, key, batch)
+    _mark("state initialized")
     tx = t2v.make_optimizer(cfg)
 
     def apply_model(params, batch, eps):
@@ -107,11 +118,13 @@ def main(B=16, N=64, T=1024):
         return lambda eps: f(state.params, batch, eps)
 
     null = jax.jit(lambda e: e * 2.0)
-    overhead = _chained(null)
+    overhead = _chained(null, label="null")
     res = {"overhead_ms": round(overhead * 1e3, 2)}
 
-    res["proxy_fwd_bwd_ms"] = round((_chained(gsum(proxy_loss)) - overhead) * 1e3, 1)
-    res["real_fwd_bwd_ms"] = round((_chained(gsum(real_loss)) - overhead) * 1e3, 1)
+    res["proxy_fwd_bwd_ms"] = round((_chained(gsum(proxy_loss), label="proxy") - overhead) * 1e3, 1)
+    _mark(json.dumps(res))
+    res["real_fwd_bwd_ms"] = round((_chained(gsum(real_loss), label="real") - overhead) * 1e3, 1)
+    _mark(json.dumps(res))
 
     # per-term increments over the proxy: add one real term at a time
     def term_loss(which):
@@ -130,7 +143,8 @@ def main(B=16, N=64, T=1024):
         return loss
 
     for w in ("mse", "dur", "bin"):
-        res[f"{w}_only_fwd_bwd_ms"] = round((_chained(gsum(term_loss(w))) - overhead) * 1e3, 1)
+        res[f"{w}_only_fwd_bwd_ms"] = round((_chained(gsum(term_loss(w)), label=w) - overhead) * 1e3, 1)
+        _mark(json.dumps(res))
 
     # grads -> clip/LAMB/apply, chained on the same params (no donation)
     import optax
@@ -143,7 +157,7 @@ def main(B=16, N=64, T=1024):
 
     wu = jax.jit(with_update)
     res["real_fwd_bwd_update_ms"] = round(
-        (_chained(lambda e: wu(state.params, state.opt_state, batch, e)) - overhead) * 1e3, 1)
+        (_chained(lambda e: wu(state.params, state.opt_state, batch, e), label="update") - overhead) * 1e3, 1)
 
     # production step (donated state, returns metrics+viz)
     step, _ = t2v.make_train_step(model, cfg)

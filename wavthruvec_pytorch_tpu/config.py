@@ -105,6 +105,12 @@ class Text2VecConfig:
     # rematerialize FFT blocks in the backward pass (trades FLOPs for HBM on
     # long frame buckets)
     remat: bool = False
+    # PRNG implementation for the per-step dropout keys: "threefry2x32"
+    # (jax default) or "rbg" (TPU-fast mask generation via the hardware RNG;
+    # same Bernoulli(keep_prob) dropout law, different random stream — the
+    # reference's torch RNG stream is a third stream anyway).  Param init
+    # stays threefry regardless so checkpoints/goldens are unaffected.
+    dropout_prng_impl: str = "threefry2x32"
     # CBHG biGRU forward recurrence: "scan" (lax.scan, exact f32) or
     # "pallas" (ops/gru_pallas.py — w_hh VMEM-resident in bf16 across steps;
     # matches TPU default matmul precision; falls back to scan when the

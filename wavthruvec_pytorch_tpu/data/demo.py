@@ -43,6 +43,7 @@ def make_demo_data(
     seed: int = 0,
     sampling_rate: int = 16000,
     upsample: int = 320,
+    max_frames: int = 0,
 ) -> str:
     from wavthruvec_pytorch_tpu.config import Text2VecConfig, Vec2WavConfig, save_config
 
@@ -83,11 +84,18 @@ def make_demo_data(
         spk_shift = 1.0 + 0.05 * s  # mild per-speaker pitch shift
         for u in range(n_utts):
             n_txt = int(rng.integers(4, max(5, frames[1] // 5)))
-            text = "".join(rng.choice(chars, size=n_txt))
+            txt_chars = list(rng.choice(chars, size=n_txt))
             # deterministic per-char durations: duration is a property of
             # the char (like phoneme length), so the duration predictor has
             # a learnable target that generalizes to novel sequences
-            durs = np.array([3 + char_index[c] % 5 for c in text])
+            durs = np.array([3 + char_index[c] % 5 for c in txt_chars])
+            if max_frames:
+                # hard frame cap (the loader pads to a fixed bucket and has
+                # no over-length filter): drop trailing chars past the cap
+                keep = int(np.searchsorted(np.cumsum(durs), max_frames,
+                                           side="right"))
+                txt_chars, durs = txt_chars[:keep], durs[:keep]
+            text = "".join(txt_chars)
             T = int(durs.sum())
             idx = np.repeat([char_index[c] for c in text], durs)
             feat = templates[idx] + 0.05 * rng.standard_normal(

@@ -36,7 +36,7 @@ def _timeit(run_once, iters=10):
 
 
 def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False,
-              dropout=None):
+              dropout=None, prng="threefry2x32"):
     import dataclasses
 
     import jax
@@ -47,7 +47,7 @@ def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False,
 
     cfg = dataclasses.replace(
         Text2VecConfig(), compute_dtype=dtype, remat=remat,
-        flash_attention=flash,
+        flash_attention=flash, dropout_prng_impl=prng,
     )
     if dropout is not None:
         cfg = dataclasses.replace(cfg, dropout=dropout)
@@ -68,7 +68,7 @@ def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False,
     step, _ = t2v.make_train_step(model, cfg)
 
     # warm/compile; consume state functionally. NOTE: step donates the state.
-    keys = [jax.random.PRNGKey(i) for i in range(16)]
+    keys = [jax.random.key(i, impl=cfg.dropout_prng_impl) for i in range(16)]
     state, m = step(state, batch, keys[0])
     float(m["total_loss"])
 
@@ -91,7 +91,7 @@ def bench_t2v(B=16, N=64, T=1024, dtype="float32", remat=False, flash=False,
         "stage": "text2vec_train_step",
         "batch": B, "text_pad": N, "frame_pad": T,
         "dtype": dtype, "remat": remat, "flash": flash,
-        "dropout": cfg.dropout,
+        "dropout": cfg.dropout, "prng": prng,
         "sec_per_step": round(dt, 4),
         "steps_per_sec": round(1.0 / dt, 3),
         **mem,
@@ -221,12 +221,15 @@ if __name__ == "__main__":
     p.add_argument("--dropout0", action="store_true",
                    help="zero attention/ffn dropout (flash rows force this; "
                         "pass it on dense rows for apples-to-apples)")
+    p.add_argument("--prng", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout-key PRNG impl (Text2VecConfig.dropout_prng_impl)")
     a = p.parse_args()
     _cache()
     if a.stage == "t2v" and (a.B or a.T or a.flash or a.dtype):
         print(json.dumps(bench_t2v(
             B=a.B or 16, T=a.T or 1024, dtype=a.dtype or "float32",
-            remat=a.remat, flash=a.flash,
+            remat=a.remat, flash=a.flash, prng=a.prng,
             dropout=0.0 if (a.flash or a.dropout0) else None)))
         sys.exit(0)
     if a.stage in ("t2v", "both"):

@@ -218,7 +218,9 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
 
     total_step = cfg.epochs * len(loader)
     print("\ntotal steps:", total_step, "len(loader)", len(loader), "\n")
-    rng = jax.random.PRNGKey(args.seed + 1)
+    # typed key so cfg.dropout_prng_impl selects the in-step mask generator
+    # ("rbg" routes dropout masks through the TPU hardware RNG)
+    rng = jax.random.key(args.seed + 1, impl=cfg.dropout_prng_impl)
     start_time = time.perf_counter()
 
     # Deferred (double-buffered) metrics emit: fetching the step's scalars
