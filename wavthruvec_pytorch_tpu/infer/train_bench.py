@@ -24,6 +24,9 @@ def _cache():
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # force + mark device acquisition so supervising wrappers can tell an
+    # acquisition hang (~50% of fresh axon launches) from a slow compile
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
 
 
 def _timeit(run_once, iters=10):
