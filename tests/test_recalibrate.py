@@ -174,6 +174,82 @@ def test_generator_recalibration():
     assert np.isfinite(np.asarray(good)).all()
 
 
+def test_generator_recalibration_cli(tmp_path):
+    """One command recalibrates a vocoder checkpoint's CBN stats (VERDICT r3
+    ask #5): poisoned orbax checkpoint in -> finite-synthesis checkpoint out,
+    exercising the reference filelist format incl. a '|' inside the text."""
+    from wavthruvec_pytorch_tpu import checkpoint as ckpt
+    from wavthruvec_pytorch_tpu import cli
+    from wavthruvec_pytorch_tpu.config import save_config
+
+    _, _, gen, gen_vars, _ = _init_models()
+    rng = np.random.default_rng(7)
+
+    poisoned = _poison_stats(gen_vars)
+    ckpt.save_checkpoint(str(tmp_path / "gen_in"), dict(poisoned))
+    save_config(V2W_CFG, str(tmp_path / "v2w.json"))
+
+    feat_root = tmp_path / "feats"
+    feat_root.mkdir()
+    spk_dir = tmp_path / "spk_emb"
+    spk_dir.mkdir()
+    lines = []
+    for i, spk in enumerate(["SSB0001", "SSB0002"]):
+        np.save(spk_dir / f"{spk}.npy",
+                rng.standard_normal(16).astype(np.float32))
+        for j in range(2):
+            name = f"{spk}_{j}.npy"
+            np.save(feat_root / name,
+                    (rng.standard_normal((10, 24)) * 0.3).astype(np.float32))
+            text = "a|b c" if (i, j) == (0, 0) else "abc def"
+            lines.append(f"{name}|{text}|{spk}")
+    filelist = tmp_path / "list.txt"
+    filelist.write_text("\n".join(lines) + "\n")
+
+    rc = cli.main([
+        "recalibrate-bn",
+        "--generator_checkpoint", str(tmp_path / "gen_in"),
+        "--filelist", str(filelist),
+        "--feat_root", str(feat_root),
+        "--config", str(tmp_path / "v2w.json"),
+        "--spk_emb_dir", str(spk_dir),
+        "--gen_frames", "8",
+        "--batch_size", "2",
+        "--out", str(tmp_path / "gen_out"),
+    ])
+    assert rc == 0
+
+    restored = ckpt.restore_checkpoint(str(tmp_path / "gen_out"),
+                                       dict(gen_vars))
+    lat = rng.standard_normal((2, 8, 24)).astype(np.float32) * 0.3
+    spk = rng.standard_normal((2, 16)).astype(np.float32)
+    noise = rng.standard_normal((2, 16)).astype(np.float32)
+    bad = gen.apply(poisoned, lat, spk, noise, train=False)
+    assert not np.isfinite(np.asarray(bad)).all()
+    good = gen.apply(restored, lat, spk, noise, train=False)
+    assert np.isfinite(np.asarray(good)).all()
+    # params untouched
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.array_equal(a, b)),
+        restored["params"], poisoned["params"]))
+
+
+def test_parse_filelist_errors(tmp_path):
+    """Malformed filelist rows fail with the line number, not a bare
+    ValueError (ADVICE r3)."""
+    import pytest
+
+    from wavthruvec_pytorch_tpu.cli import _parse_filelist
+
+    f = tmp_path / "bad.txt"
+    f.write_text("ok.npy|text|spk\nonly_two|fields\n")
+    with pytest.raises(ValueError, match="bad.txt:2"):
+        _parse_filelist(str(f), 100)
+    f2 = tmp_path / "pipe.txt"
+    f2.write_text("a.npy|te|xt|spk\n")
+    assert _parse_filelist(str(f2), 100) == [("a.npy", "te|xt", "spk")]
+
+
 def test_http_service_nonfinite_guard(tmp_path):
     """The HTTP worker surfaces non-finite audio as a per-request error."""
     from wavthruvec_pytorch_tpu.infer.http_serve import SynthesisService

@@ -58,6 +58,29 @@ def test_t2v_train_step_loss_decreases():
     assert int(state.step) == 8
 
 
+def test_t2v_lean_step_matches_viz_step():
+    """with_viz=False (the loop's non-log-step dispatch) must be the same
+    training math — identical metrics and resulting params, just without the
+    attn map outputs."""
+    cfg = T2V_SMALL
+    batch = _t2v_synth_batch(cfg)
+    model, state = t2v.init_state(cfg, jax.random.PRNGKey(0), batch)
+    state2 = jax.tree_util.tree_map(jnp.copy, state)
+    step_viz, _ = t2v.make_train_step(model, cfg)
+    step_lean, _ = t2v.make_train_step(model, cfg, with_viz=False)
+    rng = jax.random.PRNGKey(1)
+    s1, m1 = step_viz(state, batch, rng)
+    s2, m2 = step_lean(state2, batch, rng)
+    assert "attn_soft_0" in m1 and "attn_soft_0" not in m2
+    for tag in ("total_loss", "WVF_loss", "duration_loss"):
+        np.testing.assert_allclose(float(m1[tag]), float(m2[tag]), rtol=1e-6)
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    leaves2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_t2v_train_step_sharded_mesh():
     cfg = T2V_SMALL
     mesh = create_mesh()  # 8 virtual CPU devices from conftest

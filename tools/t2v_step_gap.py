@@ -172,6 +172,18 @@ def main(B=16, N=64, T=1024):
         holder["s"], m = step(holder["s"], batch, jax.random.PRNGKey(i))
     float(m["total_loss"])
     res["full_step_ms"] = round((time.perf_counter() - t0) / nsteps * 1e3, 1)
+    _mark(json.dumps(res))
+
+    # lean production step (no attn-viz outputs — what the loop dispatches on
+    # the 999/1000 non-log iterations)
+    step_lean, _ = t2v.make_train_step(model, cfg, with_viz=False)
+    holder["s"], m = step_lean(holder["s"], batch, key)
+    float(m["total_loss"])
+    t0 = time.perf_counter()
+    for i in range(nsteps):
+        holder["s"], m = step_lean(holder["s"], batch, jax.random.PRNGKey(i))
+    float(m["total_loss"])
+    res["full_step_noviz_ms"] = round((time.perf_counter() - t0) / nsteps * 1e3, 1)
 
     print(json.dumps(res), flush=True)
 

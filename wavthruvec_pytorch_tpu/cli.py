@@ -12,6 +12,7 @@ prepare_data.py, vec2wav/pre_spk_emb.py, text2vec/eval.py):
     python -m wavthruvec_pytorch_tpu.cli serve-http     --spk_emb_dir ... [--port 8571]
     python -m wavthruvec_pytorch_tpu.cli export-torch   --stage t2v|v2w --checkpoint ...
     python -m wavthruvec_pytorch_tpu.cli recalibrate-bn --t2v_checkpoint ... --filelist ...
+    python -m wavthruvec_pytorch_tpu.cli recalibrate-bn --generator_checkpoint ... --filelist ...
 """
 
 from __future__ import annotations
@@ -74,70 +75,179 @@ def main(argv=None):
     return 1
 
 
+def _parse_filelist(path, max_items):
+    """Parse ``npy|text|spk`` rows (reference filelist format,
+    prepare_data.py:90-93) tolerating '|' inside the text field: first field
+    is the npy path, last is the speaker, everything between is the text.
+    Raises with the offending line number on malformed rows."""
+    rows = []
+    with open(path, "r", encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split("|")
+            if len(parts) < 3:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'npy|text|spk' "
+                    f"(>=3 |-separated fields), got {len(parts)}: {line!r}")
+            rows.append((parts[0], "|".join(parts[1:-1]), parts[-1]))
+            if len(rows) >= max_items:
+                break
+    return rows
+
+
 def _recalibrate_bn(rest):
-    """Re-estimate a Text2Vec checkpoint's BN running statistics from
-    calibration data and write a recalibrated {params, batch_stats}
-    checkpoint.  Fixes the eval-mode BN overflow a long LAMB-trained
-    checkpoint can hit on outlier inputs (BENCH_NOTES "Val-NaN root cause";
-    the reference's ``model.eval()`` path, text2vec/eval.py:24, has the same
-    exposure and no fix).  Train-mode math is unchanged."""
+    """Re-estimate a checkpoint's BN running statistics from calibration
+    data and write a recalibrated checkpoint.  Fixes the eval-mode BN
+    overflow a long-trained checkpoint can hit on outlier inputs
+    (BENCH_NOTES "Val-NaN root cause"; the reference's ``model.eval()``
+    path, text2vec/eval.py:24, has the same exposure and no fix).
+    Train-mode math is unchanged.
+
+    Works on either stage: ``--t2v_checkpoint`` refreshes Text2Vec's
+    ECAPA/CBHG BN stats; ``--generator_checkpoint`` refreshes the Vec2Wav
+    Generator's Conditional-BN stats (vec2wav/modules.py:5-30 analog)."""
     import numpy as np
 
     from wavthruvec_pytorch_tpu import checkpoint as ckpt
-    from wavthruvec_pytorch_tpu.config import Text2VecConfig, load_config
+    from wavthruvec_pytorch_tpu.config import (
+        Text2VecConfig,
+        Vec2WavConfig,
+        load_config,
+    )
     from wavthruvec_pytorch_tpu.infer.recalibrate import (
+        recalibrate_generator_bn,
         recalibrate_text2vec_bn,
         text2vec_calibration_batches,
     )
     from wavthruvec_pytorch_tpu.infer.synthesize import init_import_models
-    from wavthruvec_pytorch_tpu.models import Text2Vec
-    from wavthruvec_pytorch_tpu.text import TextFrontend
 
     p = argparse.ArgumentParser()
-    p.add_argument("--t2v_checkpoint", required=True,
-                   help="orbax checkpoint dir or reference .pth.tar")
+    p.add_argument("--t2v_checkpoint", default="",
+                   help="Text2Vec orbax checkpoint dir or reference .pth.tar")
+    p.add_argument("--generator_checkpoint", default="",
+                   help="Vec2Wav Generator orbax dir or reference g_XXXXXXXX")
     p.add_argument("--filelist", required=True,
                    help="npy|text|spk calibration lines (e.g. the val list)")
     p.add_argument("--feat_root", default="",
                    help="root for the filelist's npy paths")
-    p.add_argument("--config", default="", help="Text2VecConfig JSON")
+    p.add_argument("--config", default="",
+                   help="config JSON for the selected stage")
     p.add_argument("--vocab_path", default="./data/vocab.txt")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_items", type=int, default=128)
     p.add_argument("--max_frames", type=int, default=0,
-                   help="infer frame cap (default: largest frame bucket)")
+                   help="t2v infer frame cap (default: largest frame bucket)")
+    p.add_argument("--spk_emb_dir", default="",
+                   help="generator mode: dir of per-speaker {spk}.npy/.pth "
+                        "embeddings (vec2wav/pre_spk_emb.py output format)")
+    p.add_argument("--gen_frames", type=int, default=400,
+                   help="generator mode: latent frames per calibration row "
+                        "(rows are cropped; shorter rows are skipped)")
+    p.add_argument("--seed", type=int, default=1234,
+                   help="generator mode: CBN noise seed")
     p.add_argument("--out", required=True, help="output orbax checkpoint dir")
     a = p.parse_args(rest)
+    if bool(a.t2v_checkpoint) == bool(a.generator_checkpoint):
+        p.error("pass exactly one of --t2v_checkpoint / --generator_checkpoint")
 
-    cfg = (load_config(Text2VecConfig, a.config) if a.config
-           else Text2VecConfig().with_vocab_from_file(a.vocab_path))
-    frontend = TextFrontend.from_vocab_file(
-        a.config and cfg.vocab_path or a.vocab_path)
-    from wavthruvec_pytorch_tpu.config import Vec2WavConfig
+    rows = _parse_filelist(a.filelist, a.max_items)
 
-    _, t2v_vars, _, _ = init_import_models(
-        cfg, Vec2WavConfig(), t2v_checkpoint=a.t2v_checkpoint)
+    def featpath(npy):
+        return os.path.join(a.feat_root, npy) if a.feat_root else npy
 
-    items = []
-    with open(a.filelist, "r", encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            npy, text, _spk = line.split("|")
-            path = os.path.join(a.feat_root, npy) if a.feat_root else npy
-            items.append((text, np.load(path).squeeze().astype(np.float32)))
-            if len(items) >= a.max_items:
-                break
-    batches = text2vec_calibration_batches(
-        frontend, cfg, items, batch_size=a.batch_size)
-    t2v = Text2Vec(cfg)
-    new_vars = recalibrate_text2vec_bn(
-        t2v, t2v_vars, batches,
-        max_frames=a.max_frames or cfg.frame_buckets[-1])
-    ckpt.save_checkpoint(a.out, {"params": new_vars["params"],
-                                 "batch_stats": new_vars["batch_stats"]})
-    print(f"recalibrated BN stats over {len(items)} items "
+    if a.t2v_checkpoint:
+        from wavthruvec_pytorch_tpu.models import Text2Vec
+        from wavthruvec_pytorch_tpu.text import TextFrontend
+
+        cfg = (load_config(Text2VecConfig, a.config) if a.config
+               else Text2VecConfig().with_vocab_from_file(a.vocab_path))
+        frontend = TextFrontend.from_vocab_file(
+            a.config and cfg.vocab_path or a.vocab_path)
+        t2v, t2v_vars, _, _ = init_import_models(
+            cfg, Vec2WavConfig(), t2v_checkpoint=a.t2v_checkpoint)
+        items = [
+            (text, np.load(featpath(npy)).squeeze().astype(np.float32))
+            for npy, text, _spk in rows
+        ]
+        batches = text2vec_calibration_batches(
+            frontend, cfg, items, batch_size=a.batch_size)
+        new_vars = recalibrate_text2vec_bn(
+            t2v, t2v_vars, batches,
+            max_frames=a.max_frames or cfg.frame_buckets[-1])
+        ckpt.save_checkpoint(a.out, {"params": new_vars["params"],
+                                     "batch_stats": new_vars["batch_stats"]})
+        print(f"recalibrated Text2Vec BN stats over {len(items)} items "
+              f"({len(batches)} batches) -> {a.out}")
+        return 0
+
+    # --- generator (Conditional-BN) path -----------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from wavthruvec_pytorch_tpu.data.vocoder_data import load_spk_emb
+    from wavthruvec_pytorch_tpu.models import Generator
+
+    v2w_cfg = (load_config(Vec2WavConfig, a.config) if a.config
+               else Vec2WavConfig())
+    # construct the Generator directly (init_import_models would also build
+    # a full-size Text2Vec this command never uses); checkpoint-type
+    # detection matches it: dir = orbax, file = reference g_XXXXXXXX pickle
+    gen = Generator(v2w_cfg)
+    gen_vars = gen.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, v2w_cfg.n_feat_dim)),
+        jnp.zeros((1, v2w_cfg.spk_dim)), jnp.zeros((1, v2w_cfg.noise_dim)),
+        train=False,
+    )
+    if os.path.isdir(a.generator_checkpoint):
+        gen_vars = ckpt.restore_checkpoint(a.generator_checkpoint, gen_vars)
+    else:
+        sd = ckpt.load_torch_state_dict(a.generator_checkpoint,
+                                        key="generator")
+        gen_vars = ckpt.import_vec2wav_generator(sd, v2w_cfg)
+
+    def spk_vec(spk):
+        d = a.spk_emb_dir or v2w_cfg.spk_emb_path
+        for ext in (".npy", ".pth"):
+            path = os.path.join(d, spk + ext)
+            if os.path.exists(path):
+                return load_spk_emb(path).reshape(-1)[: v2w_cfg.spk_dim]
+        raise FileNotFoundError(
+            f"no speaker embedding {spk}.npy/.pth under {d!r} "
+            "(--spk_emb_dir)")
+
+    F = a.gen_frames
+    keep, skipped = [], 0
+    for npy, _text, spk in rows:
+        lat = np.load(featpath(npy)).squeeze().astype(np.float32)
+        if lat.shape[0] < F:
+            skipped += 1
+            continue
+        keep.append((lat[:F], spk_vec(spk)))
+    if skipped:
+        print(f"skipped {skipped} rows shorter than --gen_frames={F}")
+    if not keep:
+        raise ValueError(
+            f"no calibration rows with >= {F} frames; lower --gen_frames")
+    noise_key = jax.random.PRNGKey(a.seed)
+    batches = []
+    for i in range(0, len(keep), a.batch_size):
+        chunk = keep[i : i + a.batch_size]
+        noise_key, sub = jax.random.split(noise_key)
+        batches.append((
+            np.stack([lat for lat, _ in chunk]),
+            np.stack([emb for _, emb in chunk]).astype(np.float32),
+            np.asarray(jax.random.normal(
+                sub, (len(chunk), v2w_cfg.noise_dim)), np.float32),
+        ))
+    new_vars = recalibrate_generator_bn(gen, gen_vars, batches)
+    out_tree = {"params": new_vars["params"],
+                "batch_stats": new_vars["batch_stats"]}
+    if "spectral" in new_vars:
+        out_tree["spectral"] = new_vars["spectral"]
+    ckpt.save_checkpoint(a.out, out_tree)
+    print(f"recalibrated Generator CBN stats over {len(keep)} items "
           f"({len(batches)} batches) -> {a.out}")
     return 0
 

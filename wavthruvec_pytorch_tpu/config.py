@@ -110,6 +110,10 @@ class Text2VecConfig:
     # same Bernoulli(keep_prob) dropout law, different random stream — the
     # reference's torch RNG stream is a third stream anyway).  Param init
     # stays threefry regardless so checkpoints/goldens are unaffected.
+    # Measured (tools/rbg_prng_bench.py, B16/1024, 3 alternating reps):
+    # rbg is ~2-4% faster per step (best 174.7 vs 182.3 ms sync-fetch) —
+    # threefry stays the default for jax-default reproducibility across
+    # backends/versions; flip to "rbg" for long production runs.
     dropout_prng_impl: str = "threefry2x32"
     # CBHG biGRU forward recurrence: "scan" (lax.scan, exact f32) or
     # "pallas" (ops/gru_pallas.py — w_hh VMEM-resident in bf16 across steps;

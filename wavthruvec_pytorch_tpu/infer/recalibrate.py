@@ -31,13 +31,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _population_average(collect_fn, variables, batches, momentum: float = 0.9):
+def _bn_momentum() -> float:
+    """The EMA momentum every BN layer in this package uses.
+
+    The ``(1-m)`` unwinding below is only correct if it matches the layers'
+    actual momentum; read it from the shared ``layers.BatchNorm`` field
+    default instead of hardcoding, so a future momentum change there cannot
+    silently mis-scale recalibrated stats."""
+    from wavthruvec_pytorch_tpu.models.layers import BatchNorm
+
+    return float(BatchNorm.momentum)
+
+
+def _population_average(collect_fn, variables, batches,
+                        momentum: float | None = None):
     """Average pure per-batch BN moments over ``batches``.
 
     ``collect_fn(vars_with_zeroed_stats, batch) -> batch_stats`` must run the
     model with train-mode BN and ``mutable=["batch_stats"]``; with zeroed old
     stats the returned tree equals ``(1-momentum) * batch_moments``.
+    ``momentum`` defaults to the package-wide ``layers.BatchNorm.momentum``.
     """
+    if momentum is None:
+        momentum = _bn_momentum()
     zeroed = jax.tree_util.tree_map(
         jnp.zeros_like, variables["batch_stats"]
     )
@@ -64,7 +80,7 @@ def recalibrate_text2vec_bn(
     batches: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     max_frames: int,
     alpha: float = 1.0,
-    momentum: float = 0.9,
+    momentum: float | None = None,
 ):
     """Refresh Text2Vec BN stats (ECAPA speaker encoder + CBHG postnet).
 
@@ -100,7 +116,7 @@ def recalibrate_generator_bn(
     gen,
     variables,
     batches: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-    momentum: float = 0.9,
+    momentum: float | None = None,
 ):
     """Refresh the Vec2Wav Generator's Conditional-BN stats.
 

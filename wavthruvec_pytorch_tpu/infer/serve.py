@@ -237,10 +237,12 @@ def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
     out = synth.text_to_latents(
         texts, None, alpha=alpha, max_frames=max_frames, t2v_spk_emb=t2v_embs)
     lat = out["feat_postnet_output"]
-    wav = synth.latents_to_wav(lat, voc_embs, noise=_serve_noise(synth, len(reqs)))
+    wav, wav_ok = synth.latents_to_wav(
+        lat, voc_embs, noise=_serve_noise(synth, len(reqs)), with_finite=True)
     n_samples = out["total_frames"] * synth.v2w_cfg.total_upsample
-    finite_ok = (np.isfinite(lat).all(axis=(1, 2))
-                 & np.isfinite(wav).all(axis=1))
+    # per-row finiteness is computed inside the jitted programs; only the
+    # [B] bool vectors reach the host (no full-buffer isfinite scan here)
+    finite_ok = out["finite_ok"] & wav_ok
     return wav[:n], n_samples[:n], finite_ok[:n]
 
 

@@ -170,10 +170,18 @@ class Synthesizer:
                 spk_emb if use_spk_emb else None,
                 method=Text2Vec.infer,
             )
+            # per-row finiteness computed in-graph so serving guards fetch a
+            # [B] bool instead of host-scanning the full padded latents
+            # (eval-mode BN overflow guard, see infer/serve.py)
+            finite = (
+                jnp.isfinite(out["feat_output"]).all(axis=(1, 2))
+                & jnp.isfinite(out["feat_postnet_output"]).all(axis=(1, 2))
+            )
             return (
                 out["feat_output"],
                 out["feat_postnet_output"],
                 out["total_frames"],
+                finite,
             )
 
         return jax.jit(fn)
@@ -198,7 +206,9 @@ class Synthesizer:
     @functools.lru_cache(maxsize=16)
     def _voc_fn(self):
         def fn(variables, latents, spk_emb, noise):
-            return self.gen.apply(variables, latents, spk_emb, noise, train=False)
+            wav = self.gen.apply(variables, latents, spk_emb, noise,
+                                 train=False)
+            return wav, jnp.isfinite(wav).all(axis=(1, 2))
 
         return jax.jit(fn)
 
@@ -234,7 +244,7 @@ class Synthesizer:
         else:
             ref = jnp.asarray(ref_feats, jnp.float32)
             spk = jnp.zeros((B, self.t2v_cfg.n_speaker_dim), jnp.float32)
-        feat, feat_postnet, total = fn(
+        feat, feat_postnet, total, finite = fn(
             self.t2v_variables,
             jnp.asarray(ids, jnp.int32),
             jnp.asarray(src_pos, jnp.int32),
@@ -246,6 +256,7 @@ class Synthesizer:
             "feat_postnet_output": np.asarray(feat_postnet),
             "total_frames": np.asarray(total),
             "input_lengths": lengths,
+            "finite_ok": np.asarray(finite),
         }
 
     def latents_to_wav(
@@ -254,8 +265,12 @@ class Synthesizer:
         spk_emb: np.ndarray,
         noise: Optional[np.ndarray] = None,
         seed: int = 0,
-    ) -> np.ndarray:
-        """[B, T, 1024] latents + [B, 192] speaker emb -> [B, T*320] wav."""
+        with_finite: bool = False,
+    ):
+        """[B, T, 1024] latents + [B, 192] speaker emb -> [B, T*320] wav.
+
+        ``with_finite=True`` additionally returns the in-graph per-row
+        finiteness [B] bool (serving guard; avoids a host scan)."""
         B = latents.shape[0]
         if noise is None:
             noise = np.asarray(
@@ -263,12 +278,14 @@ class Synthesizer:
                     jax.random.PRNGKey(seed), (B, self.v2w_cfg.noise_dim)
                 )
             )
-        wav = self._voc_fn()(
+        wav, finite = self._voc_fn()(
             self.gen_variables,
             jnp.asarray(latents, jnp.float32),
             jnp.asarray(spk_emb, jnp.float32),
             jnp.asarray(noise, jnp.float32),
         )
+        if with_finite:
+            return np.asarray(wav)[..., 0], np.asarray(finite)
         return np.asarray(wav)[..., 0]
 
     def synthesize(

@@ -229,7 +229,8 @@ if __name__ == "__main__":
                    help="dropout-key PRNG impl (Text2VecConfig.dropout_prng_impl)")
     a = p.parse_args()
     _cache()
-    if a.stage == "t2v" and (a.B or a.T or a.flash or a.dtype):
+    if a.stage == "t2v" and (a.B or a.T or a.flash or a.dtype or a.remat
+                             or a.dropout0 or a.prng != "threefry2x32"):
         print(json.dumps(bench_t2v(
             B=a.B or 16, T=a.T or 1024, dtype=a.dtype or "float32",
             remat=a.remat, flash=a.flash, prng=a.prng,

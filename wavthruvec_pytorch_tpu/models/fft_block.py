@@ -90,7 +90,11 @@ class MultiHeadAttention(nn.Module):
                 "flash_attention=True cannot apply attention-prob dropout "
                 f"(dropout={self.dropout}) in a non-deterministic forward; "
                 "train with dropout=0.0 (documented deviation) or disable "
-                "flash_attention for training"
+                "flash_attention for training. This raises even when this "
+                "particular shape/platform would fall back to the dense "
+                "path (which CAN apply dropout): allowing it would make the "
+                "training math silently differ between flash-eligible and "
+                "fallback buckets of the same run."
             )
         if (
             self.use_flash

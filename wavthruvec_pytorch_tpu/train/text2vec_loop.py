@@ -166,7 +166,11 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     model, state = t2v.init_state(cfg, jax.random.PRNGKey(args.seed), first_j)
     print("Number of TTS Parameters:", count_params(state.params))
 
-    step_fn, _ = t2v.make_train_step(model, cfg, mesh=mesh)
+    # two step variants: the lean one (metrics only) runs on the 999/1000
+    # non-log iterations; the viz one additionally returns the first item's
+    # attention maps for the TB images emitted every log_step
+    step_fn, _ = t2v.make_train_step(model, cfg, mesh=mesh, with_viz=False)
+    step_fn_viz, _ = t2v.make_train_step(model, cfg, mesh=mesh)
     if args.frozen_learning_rate:
         state = t2v.set_learning_rate(state, args.learning_rate_frozen)
 
@@ -293,13 +297,15 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                 # never blocks), and only on iterations whose emit will
                 # actually print the text log (no per-step extra dispatch).
                 lr_ref = None
-                if (iteration + 1) % cfg.log_step == 0:
+                is_log_step = (iteration + 1) % cfg.log_step == 0
+                if is_log_step:
                     lr_ref = jnp.add(
                         state.opt_state.hyperparams["learning_rate"], 0.0)
                 # profiling hook (aux subsystem the reference lacks, SURVEY.md §5)
                 if args.profile_dir and iteration == 3:
                     jax.profiler.start_trace(args.profile_dir)
-                state, metrics = step_fn(state, batch, sub)
+                state, metrics = (step_fn_viz if is_log_step else step_fn)(
+                    state, batch, sub)
                 if args.profile_dir and iteration == 8:
                     jax.profiler.stop_trace()
                 iteration += 1

@@ -115,11 +115,17 @@ def train_step(
     model: Text2Vec,
     tx: optax.GradientTransformation,
     cfg: Text2VecConfig,
+    with_viz: bool,
     state: T2VTrainState,
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
 ) -> Tuple[T2VTrainState, Dict[str, jnp.ndarray]]:
-    """One full training iteration (forward + MAS + losses + LAMB update)."""
+    """One full training iteration (forward + MAS + losses + LAMB update).
+
+    ``with_viz`` additionally returns the first item's soft/hard attention
+    maps for TB images (reference train.py:410-422); the loop only reads
+    them every ``log_step`` iterations, so it dispatches the lean variant
+    (fewer program outputs) on all other steps."""
 
     def loss_fn(params):
         outputs, mutated = model.apply(
@@ -187,6 +193,8 @@ def train_step(
         batch_stats=new_batch_stats,
         opt_state=new_opt_state,
     )
+    if not with_viz:
+        return new_state, metrics
     # attn maps for TB logging (train.py:410-422); first item only
     viz = {
         "attn_soft_0": outputs["attn_soft"][0],
@@ -200,6 +208,7 @@ def make_train_step(
     cfg: Text2VecConfig,
     mesh=None,
     mesh_cfg: MeshConfig = MeshConfig(),
+    with_viz: bool = True,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -208,7 +217,7 @@ def make_train_step(
     for the gradients (the NCCL/DDP replacement, SURVEY.md §2.4).
     """
     tx = make_optimizer(cfg)
-    step_fn = functools.partial(train_step, model, tx, cfg)
+    step_fn = functools.partial(train_step, model, tx, cfg, with_viz)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,)), tx
