@@ -35,6 +35,8 @@ def _cache():
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # acquisition mark for hang-aware supervisors (tools/tpu_run.sh)
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
 
 
 def _t(fn, iters=8):

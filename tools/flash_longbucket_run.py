@@ -67,7 +67,10 @@ def main():
         epochs=10**6,
         batch_size=a.batch,
         batch_expand_size=1,
-        text_buckets=(448,),
+        # demo texts run to frames[1]//5 - 1 = 719 chars before the frame cap
+        # trims them (data/demo.py); 768 covers worst case and is a 128-multiple
+        # so the encoder stack is also flash-eligible
+        text_buckets=(768,),
         frame_buckets=(3072,),
         compute_dtype="bfloat16",
         flash_attention=not a.no_flash,
@@ -99,7 +102,7 @@ def main():
     acc = EventAccumulator(cfg.tensorboard_logs_path)
     acc.Reload()
     out = {"mode": tag, "batch": a.batch, "frame_bucket": 3072,
-           "text_bucket": 448, "dtype": "bfloat16", "dropout": 0.0,
+           "text_bucket": 768, "dtype": "bfloat16", "dropout": 0.0,
            "steps": int(state.step), "wall_s_incl_compile": round(wall, 1),
            **mem}
     for tag_name in acc.Tags().get("scalars", []):
