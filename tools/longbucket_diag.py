@@ -49,8 +49,9 @@ def main():
     import numpy as np
 
     from wavthruvec_pytorch_tpu.config import Text2VecConfig, load_config
-    from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, get_data_to_buffer
+    from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
     from wavthruvec_pytorch_tpu.data.demo import make_demo_data
+    from wavthruvec_pytorch_tpu.text import TextFrontend
     from wavthruvec_pytorch_tpu.models.losses import (
         attention_binarization_loss,
         dnn_loss,
@@ -73,7 +74,8 @@ def main():
 
     # one real padded batch, shared across cells
     cfg0 = cfg_for(False, "f32")
-    buf = get_data_to_buffer(cfg0.train_list, cfg0)
+    frontend = TextFrontend.from_vocab_file(cfg0.vocab_path)
+    buf = load_buffer(list(cfg0.train_list), cfg0, frontend)
     loader = BucketedLoader(buf, cfg0, seed=0)
     batch = next(loader.epoch())
     batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopaths"}
