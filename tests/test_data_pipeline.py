@@ -296,3 +296,53 @@ def test_gan_checkpoint_roundtrip(tmp_path, v2w_disk_dataset):
     # resumed state steps again
     state2, metrics = step(restored, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["gen_loss_total"]))
+
+
+def test_load_buffer_rejects_data_beyond_position_tables(t2v_disk_dataset):
+    """Items longer than the sinusoid position tables must fail at load time
+    (the reference IndexErrors in-graph, text2vec/model.py:86,158; our
+    gathers clamp, so silence here would train aliased positions)."""
+    from wavthruvec_pytorch_tpu.data.dataset import load_buffer
+
+    cfg, flist, vocab = t2v_disk_dataset
+    frontend = TextFrontend.from_vocab_file(vocab)
+
+    # text side: 14 chars + ' '/'E' affixes = 16 tokens > vocab_size 10
+    feat_dir = os.path.join(cfg.feat_ground_truth, "SSB001")
+    np.save(
+        os.path.join(feat_dir, "long_text.npy"),
+        np.zeros((1, 12, cfg.n_feat_dim), np.float32),
+    )
+    long_list = os.path.join(os.path.dirname(flist), "long_text.txt")
+    with open(long_list, "w") as f:
+        f.write("SSB001/long_text.npy|abcdefgabcdefg|SSB001\n")
+    with pytest.raises(ValueError, match="encoder position table"):
+        load_buffer([long_list], cfg, frontend, feat_root=cfg.feat_ground_truth)
+
+    # frame side: 25 frames > max_seq_len 20 (decoder table)
+    np.save(
+        os.path.join(feat_dir, "long_frames.npy"),
+        np.zeros((1, 25, cfg.n_feat_dim), np.float32),
+    )
+    frames_list = os.path.join(os.path.dirname(flist), "long_frames.txt")
+    with open(frames_list, "w") as f:
+        f.write("SSB001/long_frames.npy|abc|SSB001\n")
+    cfg20 = dataclasses.replace(cfg, max_seq_len=20)
+    with pytest.raises(ValueError, match="decoder position table"):
+        load_buffer([frames_list], cfg20, frontend, feat_root=cfg.feat_ground_truth)
+
+
+def test_encoder_clamps_positions_past_table(t2v_disk_dataset):
+    """Out-of-contract src_pos past vocab_size+1 rows must stay finite
+    (jnp.take's default OOB mode fills NaN; we clamp like the decoder)."""
+    from wavthruvec_pytorch_tpu.models.text2vec import Encoder
+
+    cfg, _, _ = t2v_disk_dataset  # vocab_size=10
+    N = 16  # positions 1..16 exceed the 11-row table
+    src_seq = jnp.ones((2, N), jnp.int32)
+    src_pos = jnp.arange(1, N + 1, dtype=jnp.int32)[None, :].repeat(2, axis=0)
+    spk = jnp.zeros((2, cfg.n_speaker_dim), jnp.float32)
+    enc = Encoder(cfg)
+    vs = enc.init(jax.random.PRNGKey(0), src_seq, src_pos, spk_emb=spk)
+    out, *_ = enc.apply(vs, src_seq, src_pos, spk_emb=spk)
+    assert bool(jnp.isfinite(out).all())

@@ -26,7 +26,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROOT = "/tmp/long_demo"
+# v2 corpus: n_chars=800 so the encoder position table (vocab_size+1 rows,
+# the reference's n_position quirk) covers the ~719-char texts — the v1
+# corpus's 123-symbol vocab made every text >123 chars gather NaN position
+# rows (jnp.take OOB fill), which is what NaN'd the first recorded run
+ROOT = "/tmp/long_demo_v2"
 ART = "artifacts/flash_longbucket"
 
 
@@ -57,11 +61,15 @@ def main():
 
     if not os.path.exists(os.path.join(ROOT, "text2vec.json")):
         make_demo_data(root=ROOT, n_speakers=2, n_utts=a.n_utts,
-                       frames=(2048, 3600), max_frames=3040, seed=7)
+                       frames=(2048, 3600), max_frames=3040, n_chars=800,
+                       seed=7)
     tag = "dense" if a.no_flash else "flash"
     cfg = load_config(Text2VecConfig, os.path.join(ROOT, "text2vec.json"))
     cfg = dataclasses.replace(
         cfg,
+        # decoder table must cover the 3072-frame bucket (reference caps
+        # its data at max_seq_len=3000; this run deliberately exceeds it)
+        max_seq_len=3072,
         run_path=f"{ART}/{tag}",
         log_seed="longbucket",
         epochs=10**6,

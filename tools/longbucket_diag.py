@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROOT = "/tmp/long_demo"
+ROOT = "/tmp/long_demo_v2"  # n_chars=800 corpus, see flash_longbucket_run.py
 
 
 def _cache():
@@ -60,12 +60,14 @@ def main():
 
     if not os.path.exists(os.path.join(ROOT, "text2vec.json")):
         make_demo_data(root=ROOT, n_speakers=2, n_utts=12,
-                       frames=(2048, 3600), max_frames=3040, seed=7)
+                       frames=(2048, 3600), max_frames=3040, n_chars=800,
+                       seed=7)
     base = load_config(Text2VecConfig, os.path.join(ROOT, "text2vec.json"))
 
     def cfg_for(flash: bool, dtype: str) -> Text2VecConfig:
         return dataclasses.replace(
             base,
+            max_seq_len=3072,
             batch_size=a.batch, batch_expand_size=1,
             text_buckets=(a.text_bucket,), frame_buckets=(a.frame_bucket,),
             compute_dtype={"bf16": "bfloat16", "f32": "float32"}[dtype],

@@ -157,6 +157,36 @@ class Text2VecConfig:
             self, vocab_path=vocab_path, vocab_size=len(symbols)
         )
 
+    def validate_position_capacity(
+        self, max_text_len: int, max_frame_len: int
+    ) -> None:
+        """Fail fast when real sequence lengths exceed a position table.
+
+        The reference sizes the encoder sinusoid table to vocab_size+1 rows
+        (a quirk: model.py:86 reuses vocab_size as len_max_seq) and the
+        decoder table to max_seq_len+1 (model.py:158); feeding longer
+        sequences there is an IndexError on GPU.  Our in-graph gathers clamp
+        to the last row instead — finite but position-aliased — so training
+        data must be rejected up front: 1-based positions run to the item
+        length, hence the longest text must be <= vocab_size and the longest
+        feature sequence <= max_seq_len.
+        """
+        if max_text_len > self.vocab_size:
+            raise ValueError(
+                f"longest text ({max_text_len} tokens) exceeds the encoder "
+                f"position table (vocab_size={self.vocab_size}, table rows "
+                "vocab_size+1 — the reference's n_position quirk, "
+                "text2vec/model.py:86). Grow the vocab or trim the data; "
+                "positions past the table would alias to one embedding."
+            )
+        if max_frame_len > self.max_seq_len:
+            raise ValueError(
+                f"longest feature sequence ({max_frame_len} frames) exceeds "
+                f"the decoder position table (max_seq_len={self.max_seq_len},"
+                " text2vec/model.py:158). Raise max_seq_len or trim the "
+                "data; positions past the table would alias to one embedding."
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class Vec2WavConfig:

@@ -106,6 +106,14 @@ def load_buffer(
             time.perf_counter() - start
         )
     )
+    if buffer:
+        # fail fast on data the sinusoid position tables cannot represent
+        # (the in-graph gathers clamp instead of erroring; aliased positions
+        # trained silently would be a far worse failure mode)
+        cfg.validate_position_capacity(
+            max(len(it["text_enc"]) for it in buffer),
+            max(it["feat_gt_target"].shape[0] for it in buffer),
+        )
     return buffer
 
 

@@ -113,11 +113,16 @@ class MultiHeadAttention(nn.Module):
             else:
                 seg = jnp.ones((B, T), jnp.int32)
             # kernel wants head_dim <= 128 or a multiple of 128; zero-pad is
-            # exact (padded q.k terms are 0; padded v dims slice away)
+            # exact (padded q.k terms are 0; padded v dims slice away).
+            # Inputs keep their compute dtype: the kernel accumulates scores
+            # and outputs in f32 regardless (preferred_element_type inside),
+            # so bf16 q/k/v get the same f32-accumulated semantics as the
+            # dense path's einsums at 2x the MXU rate; the only delta is the
+            # attention probs being rounded to bf16 before the p@v matmul.
             d_pad = 0 if self.d_k <= 128 else (-self.d_k) % 128
 
             def hpad(x):
-                x = x.transpose(0, 2, 1, 3).astype(jnp.float32)
+                x = x.transpose(0, 2, 1, 3)
                 if d_pad:
                     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
                 return x

@@ -64,7 +64,14 @@ class Encoder(nn.Module):
         pos_table = sinusoid_encoding_table_jnp(
             cfg.vocab_size + 1, cfg.encoder_dim, padding_idx=0
         )
-        enc_output = text_emb + jnp.take(pos_table, src_pos, axis=0)
+        # clamp like the decoder: positions past the table's vocab_size+1
+        # rows (reference would IndexError, model.py:86; jnp.take's default
+        # OOB mode is NaN-fill) alias to the last row instead of going NaN.
+        # Training configs are validated up front against this capacity
+        # (config.validate_position_capacity), so the clamp only ever fires
+        # on out-of-contract inference inputs.
+        pos_ids = jnp.minimum(src_pos, cfg.vocab_size)
+        enc_output = text_emb + jnp.take(pos_table, pos_ids, axis=0)
 
         if cfg.use_multi_speaker_condition:
             if spk_emb is None:
