@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the reference's n_position quirk) covers the ~719-char texts — the v1
 # corpus's 123-symbol vocab made every text >123 chars gather NaN position
 # rows (jnp.take OOB fill), which is what NaN'd the first recorded run
-ROOT = "/tmp/long_demo_v2"
+ROOT = "/tmp/long_demo_v2_u{n_utts}"  # formatted per --n_utts
 ART = "artifacts/flash_longbucket"
 
 
@@ -49,7 +49,10 @@ def main():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--no_flash", action="store_true")
-    p.add_argument("--n_utts", type=int, default=12, help="per speaker")
+    p.add_argument("--n_utts", type=int, default=16,
+                   help="per speaker; 16 -> 32 utts = 2 batches/epoch so "
+                        "the prefetch thread can overlap the ~350 MB/step "
+                        "host collation+upload with device compute")
     a = p.parse_args()
     _cache()
 
@@ -59,12 +62,18 @@ def main():
     from wavthruvec_pytorch_tpu.data.demo import make_demo_data
     from wavthruvec_pytorch_tpu.train import text2vec_loop
 
-    if not os.path.exists(os.path.join(ROOT, "text2vec.json")):
-        make_demo_data(root=ROOT, n_speakers=2, n_utts=a.n_utts,
+    root = ROOT.format(n_utts=a.n_utts)
+    if not os.path.exists(os.path.join(root, "text2vec.json")):
+        make_demo_data(root=root, n_speakers=2, n_utts=a.n_utts,
                        frames=(2048, 3600), max_frames=3040, n_chars=800,
                        seed=7)
     tag = "dense" if a.no_flash else "flash"
-    cfg = load_config(Text2VecConfig, os.path.join(ROOT, "text2vec.json"))
+    # fresh run dir: stale TB events from a previous attempt would pollute
+    # the steady_sec_per_step estimate below
+    import shutil
+
+    shutil.rmtree(f"{ART}/{tag}", ignore_errors=True)
+    cfg = load_config(Text2VecConfig, os.path.join(root, "text2vec.json"))
     cfg = dataclasses.replace(
         cfg,
         # decoder table must cover the 3072-frame bucket (reference caps

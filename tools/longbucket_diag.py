@@ -80,7 +80,20 @@ def main():
     buf = load_buffer(list(cfg0.train_list), cfg0, frontend)
     loader = BucketedLoader(buf, cfg0, seed=0)
     batch = next(loader.epoch())
-    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopaths"}
+    host_batch = {k: v for k, v in batch.items() if k != "audiopaths"}
+    # H2D bandwidth at this batch size — the production loop re-uploads
+    # ~350 MB (feat_target f32 + attn_prior f32) every step; if the axon
+    # tunnel moves that slowly, the loop is transfer-bound regardless of
+    # device compute, which would explain the 14.5 s/step first run
+    nbytes = sum(np.asarray(v).nbytes for v in host_batch.values())
+    t0 = time.perf_counter()
+    up = {k: jax.device_put(np.asarray(v)) for k, v in host_batch.items()}
+    jax.block_until_ready(up)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"h2d_mb": round(nbytes / 2**20, 1),
+                      "h2d_s": round(dt, 2),
+                      "h2d_mb_s": round(nbytes / 2**20 / dt, 1)}), flush=True)
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
     lens = np.asarray(batch["input_lengths"])
     print(json.dumps({
         "text_lens": [int(x) for x in lens],
