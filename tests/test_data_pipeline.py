@@ -346,3 +346,31 @@ def test_encoder_clamps_positions_past_table(t2v_disk_dataset):
     vs = enc.init(jax.random.PRNGKey(0), src_seq, src_pos, spk_emb=spk)
     out, *_ = enc.apply(vs, src_seq, src_pos, spk_emb=spk)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_device_resident_data_matches_host_collate(t2v_disk_dataset):
+    """HBM-resident gather (data/device_cache.py) must reproduce
+    make_padded_batch exactly at pad-to-max buckets, batch for batch."""
+    from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
+    from wavthruvec_pytorch_tpu.data.device_cache import DeviceResidentData
+
+    cfg, flist, vocab = t2v_disk_dataset
+    frontend = TextFrontend.from_vocab_file(vocab)
+    buffer = load_buffer([flist], cfg, frontend, feat_root=cfg.feat_ground_truth)
+    # two loaders sharing the same seed -> identical index order
+    host_loader = BucketedLoader(buffer, cfg, seed=3, pad_to_max=True)
+    idx_loader = BucketedLoader(buffer, cfg, seed=3)
+    drd = DeviceResidentData(buffer, cfg)
+    assert drd.nbytes() > 0
+
+    host_batches = list(host_loader.epoch())
+    idx_batches = list(idx_loader.epoch_indices())
+    assert len(host_batches) == len(idx_batches) > 0
+    for hb, idx in zip(host_batches, idx_batches):
+        paths = hb.pop("audiopaths")
+        db = drd.batch(idx)
+        assert drd.batch_audiopaths(idx) == paths
+        assert set(db) == set(hb)
+        for k in hb:
+            np.testing.assert_array_equal(
+                np.asarray(db[k]), hb[k], err_msg=k)

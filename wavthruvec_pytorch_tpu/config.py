@@ -124,6 +124,12 @@ class Text2VecConfig:
     # lengths are padded up to the nearest bucket edge.
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     frame_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 3000)
+    # HBM-resident dataset (data/device_cache.py): stage the whole padded
+    # corpus on-device once and gather batches by index, eliminating the
+    # per-step host collation + upload (~350 MB/step at long buckets).
+    # Single-process only; pads every item to the LARGEST buckets (one jit
+    # signature).  Opt-in: requires the padded corpus to fit in HBM.
+    device_resident_data: bool = False
 
     @property
     def tensorboard_logs_path(self) -> str:

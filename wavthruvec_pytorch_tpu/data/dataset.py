@@ -161,28 +161,36 @@ class BucketedLoader:
         n_super = len(self.buffer) // self.super_batch
         return n_super * self.cfg.batch_expand_size
 
-    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch_indices(self) -> Iterator[np.ndarray]:
+        """Per-batch item indices, identical order/composition to epoch():
+        shuffle -> super-batch -> sort by text length desc -> chunk.  Lets a
+        device-resident dataset (DeviceResidentData) assemble the same
+        batches on-device instead of re-uploading ~hundreds of MB per step."""
         if self.shuffle:
             order = self.rng.permutation(len(self.buffer))
         else:
             order = np.arange(len(self.buffer))
         n_super = len(order) // self.super_batch
         for s in range(n_super):
-            idx = order[s * self.super_batch : (s + 1) * self.super_batch]
-            items = [self.buffer[i] for i in idx]
-            items.sort(key=lambda it: -len(it["text_enc"]))
+            idx = list(order[s * self.super_batch : (s + 1) * self.super_batch])
+            idx.sort(key=lambda i: -len(self.buffer[i]["text_enc"]))
             for j in range(self.cfg.batch_expand_size):
-                chunk = items[
-                    j * self.batch_size : (j + 1) * self.batch_size
-                ]
-                if self.pad_to_max:
-                    yield make_padded_batch(
-                        chunk, self.cfg,
-                        text_pad=self.cfg.text_buckets[-1],
-                        frame_pad=self.cfg.frame_buckets[-1],
-                    )
-                else:
-                    yield make_padded_batch(chunk, self.cfg)
+                yield np.asarray(
+                    idx[j * self.batch_size : (j + 1) * self.batch_size],
+                    np.int32,
+                )
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        for idx in self.epoch_indices():
+            chunk = [self.buffer[i] for i in idx]
+            if self.pad_to_max:
+                yield make_padded_batch(
+                    chunk, self.cfg,
+                    text_pad=self.cfg.text_buckets[-1],
+                    frame_pad=self.cfg.frame_buckets[-1],
+                )
+            else:
+                yield make_padded_batch(chunk, self.cfg)
 
     def bucket_shapes(self):
         """All (text_bucket, frame_bucket) pairs this dataset can emit —

@@ -279,15 +279,40 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     # without it a crash silently drops the final step's scalars/images.
     # Note the deferral shifts log-line ORDER: step i's text log appears
     # after step i's checkpoint/validation messages (content is unchanged).
+    # HBM-resident dataset (data/device_cache.py): stage the padded corpus
+    # on-device once; per-step H2D shrinks from ~full-batch to a [B] index
+    # vector.  Single-process only (a mesh needs per-shard staging).
+    device_data = None
+    if cfg.device_resident_data:
+        if mesh is None and jax.process_count() == 1:
+            from wavthruvec_pytorch_tpu.data.device_cache import (
+                DeviceResidentData,
+            )
+
+            device_data = DeviceResidentData(loader.buffer, cfg)
+            print(f"device-resident dataset: "
+                  f"{device_data.nbytes() / 2**20:.0f} MB staged in HBM")
+        else:
+            print("device_resident_data ignored (multi-device/mesh run)")
+
+    def batches(epoch_iter):
+        if device_data is None:
+            for b in prefetched(epoch_iter(), depth=2, enabled=args.prefetch):
+                yield b.pop("audiopaths"), b
+        else:
+            for idx in loader.epoch_indices():
+                b = device_data.batch(idx)
+                yield device_data.batch_audiopaths(idx), b
+
     try:
         for epoch in range(cfg.epochs):
-            for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
-                audiopaths = batch.pop("audiopaths")
+            for audiopaths, batch in batches(loader.epoch):
                 # host-side copies for logging (sharded device arrays are not
                 # addressable across hosts under multi-process training)
                 log_in_len = int(batch["input_lengths"][0])
                 log_out_len = int(batch["output_lengths"][0])
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if device_data is None:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 rng, sub = jax.random.split(rng)
