@@ -92,6 +92,10 @@ def main():
         compute_dtype="bfloat16",
         flash_attention=not a.no_flash,
         dropout=0.0,  # flash kernel cannot apply attention-prob dropout
+        # stage the ~700 MB padded corpus in HBM once: per-step uploads of
+        # this 336 MB batch degrade to ~7 s on this host after the first
+        # program execution (tools/upload_bench.py --with_step)
+        device_resident_data=True,
         log_step=20,
         save_step=max(50, a.steps),
         val_step=10**9,
