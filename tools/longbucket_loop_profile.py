@@ -38,6 +38,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--flash", action="store_true")
+    p.add_argument("--device_data", action="store_true")
     p.add_argument("--batch", type=int, default=16)
     a = p.parse_args()
     _cache()
@@ -78,19 +79,39 @@ def main():
     state, m = step_viz(state, first_j, jax.random.PRNGKey(2))
     float(m["total_loss"])
 
+    device_data = None
+    if a.device_data:
+        from wavthruvec_pytorch_tpu.data.device_cache import DeviceResidentData
+
+        t0 = time.perf_counter()
+        device_data = DeviceResidentData(buf, cfg)
+        print(json.dumps({"stage_mb": round(device_data.nbytes() / 2**20),
+                          "stage_s": round(time.perf_counter() - t0, 2)}),
+              flush=True)
+
     rng = jax.random.key(3, impl=cfg.dropout_prng_impl)
     pending = None
     for it in range(a.steps):
         ph = {}
-        t0 = time.perf_counter()
-        batch = next(loader.epoch())          # fresh epoch each step, like
-        batch.pop("audiopaths", None)         # the 1-batch/epoch run
-        ph["collate"] = time.perf_counter() - t0
+        if device_data is not None:
+            t0 = time.perf_counter()
+            idx = next(iter(loader.epoch_indices()))
+            batch = device_data.batch(idx)
+            ph["gather_dispatch"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ph["lens_read"] = -1.0
+            _ = int(batch["input_lengths"][0])
+            ph["lens_read"] = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            batch = next(loader.epoch())          # fresh epoch each step, like
+            batch.pop("audiopaths", None)         # the 1-batch/epoch run
+            ph["collate"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        jax.block_until_ready(batch)
-        ph["upload"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            jax.block_until_ready(batch)
+            ph["upload"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         rng, sub = jax.random.split(rng)

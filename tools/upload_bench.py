@@ -144,6 +144,23 @@ def with_step():
     print(json.dumps({"warm_loss": round(float(m["total_loss"]), 3)}),
           flush=True)
     upload("post_step")
+    # tiny-transfer latency post-degradation: if the slow path is a fixed
+    # per-transfer cost (not bandwidth), even a [16] int32 index upload pays
+    for i in range(5):
+        small = np.arange(16, dtype=np.int32) + i
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(small))
+        print(json.dumps({"phase": "post_step_small_64B", "i": i,
+                          "s": round(time.perf_counter() - t0, 4)}),
+              flush=True)
+    # and a mid-size 12 MB one
+    for i in range(3):
+        mid = np.zeros((3, 1024, 1024), np.float32) + i
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(mid))
+        print(json.dumps({"phase": "post_step_12MB", "i": i,
+                          "s": round(time.perf_counter() - t0, 3)}),
+              flush=True)
     # device fully idle (metrics fetched); try once more after gc
     import gc
 

@@ -307,10 +307,16 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     try:
         for epoch in range(cfg.epochs):
             for audiopaths, batch in batches(loader.epoch):
-                # host-side copies for logging (sharded device arrays are not
-                # addressable across hosts under multi-process training)
-                log_in_len = int(batch["input_lengths"][0])
-                log_out_len = int(batch["output_lengths"][0])
+                # host-side copies for logging, read ONLY on log iterations:
+                # they are used solely to slice the attention images, and in
+                # device-resident mode int(...) is a blocking device read
+                # (sharded device arrays are also not addressable across
+                # hosts under multi-process training)
+                if (iteration + 1) % cfg.log_step == 0:
+                    log_in_len = int(batch["input_lengths"][0])
+                    log_out_len = int(batch["output_lengths"][0])
+                else:
+                    log_in_len = log_out_len = 0
                 if device_data is None:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if mesh is not None:
