@@ -199,8 +199,10 @@ def test_serve_pcm_mode(tmp_path):
     from scipy.io import wavfile
 
     _, wav = wavfile.read(tmp_path / "wav" / "utt_000000.wav")
-    ref = np.clip(wav, -1, 1) * 32767.0
-    np.testing.assert_allclose(pcm_blocks[0][1], ref.astype("<i2"), atol=1)
+    # the batched serving path quantizes to int16 PCM on device, so the
+    # wav-file output is int16 and must equal the PCM stream bit-for-bit
+    assert wav.dtype == np.int16
+    np.testing.assert_array_equal(pcm_blocks[0][1], wav)
 
 
 def test_serve_pcm_streaming_chunks(tmp_path):

@@ -8,12 +8,19 @@
 # attempt that fails to print that mark within ACQ_TIMEOUT seconds, up to
 # MAX_ATTEMPTS times.  A hard RUN_TIMEOUT bounds the whole attempt.
 #
+# The hang can also strike AFTER acquisition, on the process's first real
+# device transfer (futex wait inside the first D2H fetch — same tunnel
+# flake, later symptom).  ACQ_MARK lets callers pick a later progress mark
+# their tool prints (e.g. a "mark: service built" line) so those runs are
+# killed and retried too.
+#
 # Usage: tools/tpu_run.sh LOGFILE CMD [ARGS...]
 set -u
 LOG="$1"; shift
 ACQ_TIMEOUT="${ACQ_TIMEOUT:-420}"
 RUN_TIMEOUT="${RUN_TIMEOUT:-5400}"
 MAX_ATTEMPTS="${MAX_ATTEMPTS:-3}"
+ACQ_MARK="${ACQ_MARK:-devices:}"
 
 for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   : > "$LOG"
@@ -24,10 +31,10 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   for _ in $(seq 1 $((ACQ_TIMEOUT / 5))); do
     sleep 5
     if ! kill -0 "$pid" 2>/dev/null; then acquired=2; break; fi
-    if grep -q "devices:" "$LOG"; then acquired=1; break; fi
+    if grep -q "$ACQ_MARK" "$LOG"; then acquired=1; break; fi
   done
   if [ "$acquired" -eq 0 ]; then
-    echo "[tpu_run] no acquisition after ${ACQ_TIMEOUT}s; killing pid $pid" >> "$LOG"
+    echo "[tpu_run] no '$ACQ_MARK' after ${ACQ_TIMEOUT}s; killing pid $pid" >> "$LOG"
     kill "$pid" 2>/dev/null
     sleep 15
     continue

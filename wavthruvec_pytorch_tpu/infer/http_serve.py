@@ -44,8 +44,12 @@ from wavthruvec_pytorch_tpu.infer.serve import (
 
 
 def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
-    """float waveform [-1, 1] -> in-memory 16-bit PCM WAV file bytes."""
-    pcm16 = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+    """float waveform [-1, 1] (or device-quantized int16 PCM from the
+    batched serving path) -> in-memory 16-bit PCM WAV file bytes."""
+    if wav.dtype == np.int16:
+        pcm16 = wav.astype("<i2", copy=False)
+    else:
+        pcm16 = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)

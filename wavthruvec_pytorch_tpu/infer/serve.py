@@ -47,6 +47,7 @@ Two production additions beyond the basic loop:
 
 from __future__ import annotations
 
+import functools
 import os
 import queue
 import sys
@@ -194,33 +195,72 @@ def warmup(synth, max_frames: Optional[int] = None, alpha: float = 1.0,
         emb = np.zeros((B, cfg.n_speaker_dim), np.float32)
         spk = np.zeros((B, synth.v2w_cfg.spk_dim), np.float32)
         for nb in cfg.text_buckets:
-            # one dummy text padded to this bucket (frontend pads via pad_to)
+            # one dummy text padded to this bucket (frontend pads via
+            # pad_to); EXACTLY the serving-path programs — keep_device +
+            # in-graph int16 PCM — so no real request ever compiles
+            # (a warmup/serving program mismatch costs a 20-40 s compile
+            # on the first live batch of each shape)
             texts = [" " * max(1, nb - 2)] * B
             out = synth.text_to_latents(
-                texts, None, alpha=alpha, max_frames=mf, t2v_spk_emb=emb
+                texts, None, alpha=alpha, max_frames=mf, t2v_spk_emb=emb,
+                keep_device=True,
             )
-            synth.latents_to_wav(out["feat_postnet_output"], spk,
-                                 noise=_serve_noise(synth, B))
+            pcm_dev, _ = synth.latents_to_wav(
+                out["feat_postnet_output"], spk, noise=_serve_noise(synth, B),
+                with_finite=True, keep_device=True, pcm16=True)
+            np.asarray(out["meta"])
+            # warm the smallest wav-slice fetch (slice programs per bucket
+            # are cheap op-by-op dispatches; first-touch D2H is the part
+            # worth paying here)
+            np.asarray(pcm_dev[:, :_wav_fetch_len(1, pcm_dev.shape[1])])
             done.append((B, nb))
     return done
+
+
+@functools.lru_cache(maxsize=16)
+def _serve_noise_rows(noise_dim: int, B: int) -> np.ndarray:
+    """Deterministic serving noise, cached per (dim, batch): it never
+    changes, and regenerating it cost a device dispatch + fetch per batch
+    on the serving hot path."""
+    import jax
+
+    row = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(0), (1, noise_dim)))
+    return np.tile(row, (B, 1))
 
 
 def _serve_noise(synth, B: int) -> np.ndarray:
     """Per-item vocoder noise for serving: every item gets the SAME seed-0
     row, so a request's audio does not depend on its position in a coalesced
     batch (batched == unbatched, deterministic across retries)."""
-    import jax
+    return _serve_noise_rows(synth.v2w_cfg.noise_dim, B)
 
-    row = np.asarray(jax.random.normal(
-        jax.random.PRNGKey(0), (1, synth.v2w_cfg.noise_dim)))
-    return np.tile(row, (B, 1))
+
+def _wav_fetch_len(max_samples: int, full_len: int) -> int:
+    """Bucketed wav-slice length: smallest power-of-two (floor 8192 samples
+    = 0.5 s) covering the batch's longest utterance, capped at the padded
+    length.  A small fixed ladder keeps the device slice op's jit cache
+    tiny while cutting the fetched bytes to roughly the emitted audio."""
+    k = 8192
+    while k < max_samples and k < full_len:
+        k <<= 1
+    return min(k, full_len)
 
 
 def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
     """One batched synthesis over parsed (spk, text) requests.  Returns
-    ([B, L] wavs, [B] sample counts, [B] finite-ok bools).  ``pad_to`` pads
-    the batch (repeating the last request) to a fixed bucket size so only
-    warmed-up jit shapes run; padded rows are dropped from the result.
+    ([B, K] int16 PCM wavs with K >= every emitted length, [B] sample
+    counts, [B] finite-ok bools).  ``pad_to`` pads the batch (repeating
+    the last request) to a fixed bucket size so only warmed-up jit shapes
+    run; padded rows are dropped from the result.
+
+    Engineered for a slow host<->device link (BENCH_NOTES "Serving load";
+    the tunneled chip moves ~25-40 MB/s): latents never leave the device
+    (fetching the [B, 500, 1024] buffers cost ~7 s per batch — 50x the
+    synthesis), frame counts + finite masks ride one [2, B] fetch issued
+    AFTER the vocoder dispatch, the wav is quantized to int16 PCM in graph
+    (the wire format; 4x fewer bytes than f32), and only a bucketed slice
+    covering the longest utterance is fetched.
 
     The finite mask checks the FULL padded latent and wav rows, not just the
     emitted samples: a BN-overflowed checkpoint (BENCH_NOTES "Val-NaN root
@@ -235,15 +275,29 @@ def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
         [store.t2v_emb_or_fallback(s) for s, _ in reqs], axis=0)
     voc_embs = np.stack([store.vocoder_emb(s) for s, _ in reqs], axis=0)
     out = synth.text_to_latents(
-        texts, None, alpha=alpha, max_frames=max_frames, t2v_spk_emb=t2v_embs)
-    lat = out["feat_postnet_output"]
-    wav, wav_ok = synth.latents_to_wav(
-        lat, voc_embs, noise=_serve_noise(synth, len(reqs)), with_finite=True)
-    n_samples = out["total_frames"] * synth.v2w_cfg.total_upsample
-    # per-row finiteness is computed inside the jitted programs; only the
-    # [B] bool vectors reach the host (no full-buffer isfinite scan here)
-    finite_ok = out["finite_ok"] & wav_ok
-    return wav[:n], n_samples[:n], finite_ok[:n]
+        texts, None, alpha=alpha, max_frames=max_frames, t2v_spk_emb=t2v_embs,
+        keep_device=True)
+    pcm_dev, wav_ok = synth.latents_to_wav(
+        out["feat_postnet_output"], voc_embs,
+        noise=_serve_noise(synth, len(reqs)), with_finite=True,
+        keep_device=True, pcm16=True)
+    # [B]-sized fetches only, after both dispatches are in flight
+    meta = np.asarray(out["meta"])
+    total = np.clip(meta[0][:n], 0, None)
+    n_samples = total * synth.v2w_cfg.total_upsample
+    finite_ok = meta[1][:n].astype(bool) & np.asarray(wav_ok)[:n]
+    k = _wav_fetch_len(int(n_samples.max(initial=0)), pcm_dev.shape[1])
+    pcm = np.asarray(pcm_dev[:, :k])
+    return pcm[:n], np.minimum(n_samples, k), finite_ok
+
+
+def _to_pcm16(wav: np.ndarray) -> np.ndarray:
+    """float [-1, 1] or already-quantized int16 -> int16 little-endian PCM.
+    The batched serving path quantizes on device (``pcm16=True``); the
+    streaming path still produces float chunks."""
+    if wav.dtype == np.int16:
+        return wav.astype("<i2", copy=False)
+    return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
 
 
 _NONFINITE_MSG = (
@@ -309,8 +363,7 @@ def serve_loop(
             return
         if pcm:
             sr = synth.v2w_cfg.sampling_rate
-            data = np.clip(wav[:n_samp], -1, 1)
-            pcm16 = (data * 32767.0).astype("<i2").tobytes()
+            pcm16 = _to_pcm16(wav[:n_samp]).tobytes()
             binout.write(f"PCM {n_samp} {sr} latency={dt_ms:.1f}ms batched={b}\n".encode())
             binout.write(pcm16)
             binout.write(b"PCMEND\n")

@@ -172,16 +172,22 @@ class Synthesizer:
             )
             # per-row finiteness computed in-graph so serving guards fetch a
             # [B] bool instead of host-scanning the full padded latents
-            # (eval-mode BN overflow guard, see infer/serve.py)
+            # (eval-mode BN overflow guard, see infer/serve.py).  Frame
+            # counts and the finite mask ride ONE [2, B] int32 output so
+            # the serving path pays a single small-fetch round trip for
+            # both (each separate fetch costs a full tunnel RTT).
             finite = (
                 jnp.isfinite(out["feat_output"]).all(axis=(1, 2))
                 & jnp.isfinite(out["feat_postnet_output"]).all(axis=(1, 2))
             )
+            meta = jnp.stack([
+                jnp.asarray(out["total_frames"], jnp.int32),
+                finite.astype(jnp.int32),
+            ])
             return (
                 out["feat_output"],
                 out["feat_postnet_output"],
-                out["total_frames"],
-                finite,
+                meta,
             )
 
         return jax.jit(fn)
@@ -204,11 +210,23 @@ class Synthesizer:
         )
 
     @functools.lru_cache(maxsize=16)
-    def _voc_fn(self):
+    def _voc_fn(self, pcm16: bool = False):
         def fn(variables, latents, spk_emb, noise):
             wav = self.gen.apply(variables, latents, spk_emb, noise,
                                  train=False)
-            return wav, jnp.isfinite(wav).all(axis=(1, 2))
+            finite = jnp.isfinite(wav).all(axis=(1, 2))
+            if pcm16:
+                # quantize to the 16-bit PCM the serving front ends emit
+                # anyway, IN GRAPH: the fetched bytes drop 4x -> 2x, which
+                # is the dominant serving cost on a tunneled chip
+                # (BENCH_NOTES "Serving load").  Same math as the host
+                # conversion: clip, scale, truncate toward zero.  The
+                # finite guard reads the float wav, so NaN rows are caught
+                # before the (undefined) NaN->int cast could matter.
+                pcm = (jnp.clip(wav[..., 0], -1.0, 1.0) * 32767.0
+                       ).astype(jnp.int16)
+                return pcm, finite
+            return wav, finite
 
         return jax.jit(fn)
 
@@ -220,12 +238,21 @@ class Synthesizer:
         alpha: float = 1.0,
         max_frames: Optional[int] = None,
         t2v_spk_emb: Optional[np.ndarray] = None,
+        keep_device: bool = False,
     ) -> Dict[str, np.ndarray]:
         """texts + [B, T_ref, 1024] speaker-reference wav2vec feats ->
         padded latents [B, max_frames, 1024] + per-item frame counts.
 
         With ``t2v_spk_emb`` ([B, n_speaker_dim] from ``speaker_embedding``)
-        the ECAPA pass is skipped (``ref_feats`` may be None)."""
+        the ECAPA pass is skipped (``ref_feats`` may be None).
+
+        ``keep_device=True`` returns jax device arrays instead of numpy:
+        the serving path feeds ``feat_postnet_output`` straight into
+        ``latents_to_wav``, and fetching the [B, max_frames, 1024] latents
+        to host costs seconds per batch on a tunneled chip (BENCH_NOTES
+        "Serving load" — the tunnel moves ~25-40 MB/s).  In this mode the
+        dict has a ``meta`` key (device [2, B] int32: total_frames row 0,
+        finite mask row 1) instead of ``total_frames``/``finite_ok``."""
         ids, lengths = self.frontend.encode_batch(
             texts, pad_to=pad_to_bucket(
                 max(len(self.frontend.text_to_sequence(t)) for t in texts),
@@ -244,19 +271,31 @@ class Synthesizer:
         else:
             ref = jnp.asarray(ref_feats, jnp.float32)
             spk = jnp.zeros((B, self.t2v_cfg.n_speaker_dim), jnp.float32)
-        feat, feat_postnet, total, finite = fn(
+        feat, feat_postnet, meta = fn(
             self.t2v_variables,
             jnp.asarray(ids, jnp.int32),
             jnp.asarray(src_pos, jnp.int32),
             ref,
             spk,
         )
+        if keep_device:
+            # everything stays on device; "meta" is the [2, B] int32
+            # (total_frames; finite) pair — callers fetch it in ONE small
+            # transfer AFTER dispatching the vocoder stage, so the fetch
+            # rides behind stage-2 execution instead of gating it
+            return {
+                "feat_output": feat,
+                "feat_postnet_output": feat_postnet,
+                "meta": meta,
+                "input_lengths": lengths,
+            }
+        meta_h = np.asarray(meta)
         return {
             "feat_output": np.asarray(feat),
             "feat_postnet_output": np.asarray(feat_postnet),
-            "total_frames": np.asarray(total),
+            "total_frames": meta_h[0],
             "input_lengths": lengths,
-            "finite_ok": np.asarray(finite),
+            "finite_ok": meta_h[1].astype(bool),
         }
 
     def latents_to_wav(
@@ -266,11 +305,20 @@ class Synthesizer:
         noise: Optional[np.ndarray] = None,
         seed: int = 0,
         with_finite: bool = False,
+        keep_device: bool = False,
+        pcm16: bool = False,
     ):
         """[B, T, 1024] latents + [B, 192] speaker emb -> [B, T*320] wav.
 
-        ``with_finite=True`` additionally returns the in-graph per-row
-        finiteness [B] bool (serving guard; avoids a host scan)."""
+        ``latents`` may be a jax device array (``text_to_latents`` with
+        ``keep_device=True``) — it is consumed in place with no host round
+        trip.  ``with_finite=True`` additionally returns the in-graph
+        per-row finiteness [B] bool (serving guard; avoids a host scan).
+        ``keep_device=True`` returns the device wav ([B, L, 1] float, or
+        [B, L] int16 with ``pcm16=True``) — callers slice to the emitted
+        samples before fetching.  ``pcm16=True`` quantizes to 16-bit PCM
+        in graph (the serving wire format; halves fetched bytes vs f32
+        twice over)."""
         B = latents.shape[0]
         if noise is None:
             noise = np.asarray(
@@ -278,15 +326,19 @@ class Synthesizer:
                     jax.random.PRNGKey(seed), (B, self.v2w_cfg.noise_dim)
                 )
             )
-        wav, finite = self._voc_fn()(
+        wav, finite = self._voc_fn(pcm16)(
             self.gen_variables,
             jnp.asarray(latents, jnp.float32),
             jnp.asarray(spk_emb, jnp.float32),
             jnp.asarray(noise, jnp.float32),
         )
+        if keep_device:
+            return (wav, finite) if with_finite else wav
+        if not pcm16:
+            wav = wav[..., 0]
         if with_finite:
-            return np.asarray(wav)[..., 0], np.asarray(finite)
-        return np.asarray(wav)[..., 0]
+            return np.asarray(wav), np.asarray(finite)
+        return np.asarray(wav)
 
     def synthesize(
         self,
@@ -310,4 +362,7 @@ class Synthesizer:
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
     from scipy.io import wavfile
 
-    wavfile.write(path, sample_rate, np.clip(wav, -1, 1))
+    if wav.dtype == np.int16:  # already-quantized PCM (serving path)
+        wavfile.write(path, sample_rate, wav)
+    else:
+        wavfile.write(path, sample_rate, np.clip(wav, -1, 1))
