@@ -181,6 +181,11 @@ def main():
         for wait in waits:
             service = build_service(a.max_batch, wait, tmp,
                                     gen_precision=a.gen_precision)
+            # progress mark for tpu_run.sh ACQ_MARK: the acquisition hang
+            # can strike at the process's first device transfer, AFTER the
+            # "devices:" mark (see tools/tpu_run.sh)
+            print(f"mark: service built (wait={wait})", file=sys.stderr,
+                  flush=True)
             t0 = time.perf_counter()
             service.warmup()
             warm_s = round(time.perf_counter() - t0, 1)

@@ -344,10 +344,11 @@ def _serving_parser():
                    "synthesis call (responses keep request order)")
     p.add_argument("--coalesce_wait_ms", type=float, default=0.0,
                    help="after the first queued request, wait up to this "
-                   "long for more before dispatching (bigger batches at "
-                   "moderate load at the cost of up to this much added "
-                   "latency; 0 = dispatch immediately with whatever is "
-                   "queued)")
+                   "long for more before dispatching (0 = dispatch "
+                   "immediately with whatever is queued — the measured "
+                   "best at every load level: backlog already forms "
+                   "large batches under load and a window only adds its "
+                   "own latency; see BENCH_NOTES 'Serving load' grid)")
     p.add_argument("--pcm", action="store_true",
                    help="write raw int16 PCM to stdout (framed by control "
                    "lines) instead of wav files")
