@@ -348,19 +348,30 @@ def test_encoder_clamps_positions_past_table(t2v_disk_dataset):
     assert bool(jnp.isfinite(out).all())
 
 
-def test_device_resident_data_matches_host_collate(t2v_disk_dataset):
+@pytest.mark.parametrize("mode", ["per_bucket", "pad_to_max", "sharded"])
+def test_device_resident_data_matches_host_collate(t2v_disk_dataset, mode):
     """HBM-resident gather (data/device_cache.py) must reproduce
-    make_padded_batch exactly at pad-to-max buckets, batch for batch."""
+    make_padded_batch exactly, batch for batch, in every mode: per-batch
+    bucket selection, pad-to-max (the multi-process shape-agreement mode),
+    and sharded over a data-parallel mesh (batches come out P('data'))."""
     from wavthruvec_pytorch_tpu.data.dataset import BucketedLoader, load_buffer
     from wavthruvec_pytorch_tpu.data.device_cache import DeviceResidentData
 
     cfg, flist, vocab = t2v_disk_dataset
     frontend = TextFrontend.from_vocab_file(vocab)
     buffer = load_buffer([flist], cfg, frontend, feat_root=cfg.feat_ground_truth)
+    pad_to_max = mode == "pad_to_max"
+    mesh = None
+    if mode == "sharded":
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >1 device (xla_force_host_platform_device_count)")
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
     # two loaders sharing the same seed -> identical index order
-    host_loader = BucketedLoader(buffer, cfg, seed=3, pad_to_max=True)
+    host_loader = BucketedLoader(buffer, cfg, seed=3, pad_to_max=pad_to_max)
     idx_loader = BucketedLoader(buffer, cfg, seed=3)
-    drd = DeviceResidentData(buffer, cfg)
+    drd = DeviceResidentData(buffer, cfg, mesh=mesh)
     assert drd.nbytes() > 0
 
     host_batches = list(host_loader.epoch())
@@ -368,9 +379,12 @@ def test_device_resident_data_matches_host_collate(t2v_disk_dataset):
     assert len(host_batches) == len(idx_batches) > 0
     for hb, idx in zip(host_batches, idx_batches):
         paths = hb.pop("audiopaths")
-        db = drd.batch(idx)
+        db = drd.batch(idx, pad_to_max=pad_to_max)
         assert drd.batch_audiopaths(idx) == paths
         assert set(db) == set(hb)
         for k in hb:
+            if mesh is not None:
+                shd = db[k].sharding
+                assert shd.spec[0] == "data", (k, shd.spec)
             np.testing.assert_array_equal(
                 np.asarray(db[k]), hb[k], err_msg=k)

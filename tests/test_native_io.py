@@ -5,6 +5,9 @@ import pytest
 
 from wavthruvec_pytorch_tpu.data import native_io
 
+# sub-minute smoke tier for inner-loop development (README Usage)
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def lib():

@@ -25,6 +25,9 @@ from wavthruvec_pytorch_tpu.ops.stft import (
     stft_magnitude,
 )
 
+# sub-minute smoke tier for inner-loop development (README Usage)
+pytestmark = pytest.mark.smoke
+
 
 # ---------------------------------------------------------------------------
 # MAS

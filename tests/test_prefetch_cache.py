@@ -9,6 +9,9 @@ import pytest
 
 from wavthruvec_pytorch_tpu.data.prefetch import PrefetchIterator, prefetched
 
+# sub-minute smoke tier for inner-loop development (README Usage)
+pytestmark = pytest.mark.smoke
+
 
 def test_prefetch_yields_everything_in_order():
     src = list(range(57))

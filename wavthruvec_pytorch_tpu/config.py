@@ -124,11 +124,13 @@ class Text2VecConfig:
     # lengths are padded up to the nearest bucket edge.
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     frame_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 3000)
-    # HBM-resident dataset (data/device_cache.py): stage the whole padded
-    # corpus on-device once and gather batches by index, eliminating the
-    # per-step host collation + upload (~350 MB/step at long buckets).
-    # Single-process only; pads every item to the LARGEST buckets (one jit
-    # signature).  Opt-in: requires the padded corpus to fit in HBM.
+    # HBM-resident dataset (data/device_cache.py): stage the whole corpus
+    # on-device once (flat ragged layout, no padding waste) and gather
+    # padded batches by index, eliminating the per-step host collation +
+    # upload (~350 MB/step at long buckets).  Composes with a
+    # single-process mesh (batches emitted sharded over "data");
+    # multi-process runs fall back to the host path.  Opt-in: requires the
+    # corpus (at true lengths) to fit in HBM.
     device_resident_data: bool = False
 
     @property

@@ -227,46 +227,53 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     rng = jax.random.key(args.seed + 1, impl=cfg.dropout_prng_impl)
     start_time = time.perf_counter()
 
-    # Deferred (double-buffered) metrics emit: fetching the step's scalars
-    # synchronously costs ~32 ms/step through the runtime (21% of the B16
-    # step — tools/t2v_dispatch_cost.py: 149 ms chained vs 181 ms
-    # fetch-each).  Each iteration's logging is emitted AFTER the next step
-    # has been dispatched, so the host fetch overlaps device compute.  TB
-    # content is unchanged; only the lr line in the text log reads the
-    # then-current state (one step newer — identical under frozen lr).
-    pending = None
+    # Batched deferred metrics emit: each float(metrics[k]) is a full D2H
+    # round trip, and on a tunneled chip 5-per-step round trips inflated the
+    # long-bucket production loop to ~2.5 s/step vs a 0.5 s chained step
+    # (BENCH_NOTES.md "Long-bucket production loop", round-4 VERDICT ask #1).
+    # Instead the step packs its 5 scalars into ONE [5] f32 buffer
+    # (metrics["scalars"], text2vec_train.SCALAR_KEYS order); the loop holds
+    # K of those device buffers and fetches them as a single stacked [K, 5]
+    # transfer every --metric_flush_steps (and at every log_step boundary so
+    # the text log/images stay prompt).  TB content is unchanged — still one
+    # point per step — only the transfer count drops K*5-fold.
+    import functools
 
-    def emit(pend):
-        it, ep, metrics, audiopaths, log_in_len, log_out_len, lr = pend
+    pend = []
+
+    @functools.lru_cache(maxsize=None)
+    def _stacker(k):
+        return jax.jit(lambda *xs: jnp.stack(xs))
+
+    def emit_one(p, row):
+        it, ep = p["it"], p["epoch"]
         if it % args.scalar_log_step == 0:
-            for tag in ("total_loss", "WVF_loss", "WVF_postnet_loss",
-                        "duration_loss", "attn_binarization_loss"):
-                logger.add_scalar(f"train/{tag}", float(metrics[tag]), it)
+            for tag, v in zip(t2v.SCALAR_KEYS, row):
+                logger.add_scalar(f"train/{tag}", float(v), it)
 
         if it % cfg.log_step == 0:
             elapsed = time.perf_counter() - start_time
             logger.text(
                 f"Epoch [{ep + 1}/{cfg.epochs}], Step [{it}/{total_step}]:",
                 "W2V Feat Loss: {:.4f}, PostNet Loss: {:.4f}, attn_bin: {:.4f};".format(
-                    float(metrics["WVF_loss"]),
-                    float(metrics["WVF_postnet_loss"]),
-                    float(metrics["attn_binarization_loss"]),
+                    float(row[1]), float(row[2]), float(row[4]),
                 ),
                 # lr captured at dispatch time (the pre-step state's value):
                 # reading the live closure state here would both block on the
                 # just-dispatched step (re-adding the sync the deferral
                 # removes) and log the NEXT step's lr under any lr schedule
-                "Current Learning Rate is {:.6f}.".format(float(lr)),
+                "Current Learning Rate is {:.6f}.".format(float(p["lr"])),
                 "Time Used: {:.3f}s, Estimated Remaining: {:.3f}s.".format(
                     elapsed, (total_step - it) * timer.mean
                 ),
             )
-            if jax.process_count() == 1:
+            if jax.process_count() == 1 and p["viz"] is not None:
+                audiopaths = p["audiopaths"]
                 name = os.path.basename(audiopaths[0]) if audiopaths else ""
-                soft = np.asarray(metrics["attn_soft_0"])[
-                    :log_out_len, :log_in_len].T
-                hard = np.asarray(metrics["attn_hard_0"])[
-                    :log_out_len, :log_in_len].T
+                soft = np.asarray(p["viz"]["attn_soft_0"])[
+                    :p["log_out_len"], :p["log_in_len"]].T
+                hard = np.asarray(p["viz"]["attn_hard_0"])[
+                    :p["log_out_len"], :p["log_in_len"]].T
                 logger.add_image(
                     "train/attention_weights(align_soft)",
                     plot_alignment_to_numpy(soft, title=name), it)
@@ -274,26 +281,40 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                     "train/attention_weights_mas(align_hard)",
                     plot_alignment_to_numpy(hard, title=name), it)
 
+    def flush():
+        if not pend:
+            return
+        # one program dispatch + ONE [K, 5] transfer for K steps of scalars
+        rows = np.asarray(_stacker(len(pend))(*[p["scalars"] for p in pend]))
+        for p, row in zip(pend, rows):
+            emit_one(p, row)
+        pend.clear()
+
     # try/finally: on ANY exit (clean, max_steps, crash, interrupt) the last
     # completed step's deferred logs are emitted and the logger flushed —
     # without it a crash silently drops the final step's scalars/images.
     # Note the deferral shifts log-line ORDER: step i's text log appears
     # after step i's checkpoint/validation messages (content is unchanged).
-    # HBM-resident dataset (data/device_cache.py): stage the padded corpus
-    # on-device once; per-step H2D shrinks from ~full-batch to a [B] index
-    # vector.  Single-process only (a mesh needs per-shard staging).
+    # HBM-resident dataset (data/device_cache.py): stage the corpus
+    # on-device once (flat ragged layout, zero padding waste); per-step H2D
+    # shrinks from ~full-batch to a [B] index vector.  Composes with a
+    # single-process mesh (batches come out sharded P("data"), matching the
+    # sharded step's in_shardings); multi-PROCESS keeps the host path —
+    # each host's buffer is a filelist shard and the global batch must be
+    # assembled from per-host slices (shard_batch).
     device_data = None
     if cfg.device_resident_data:
-        if mesh is None and jax.process_count() == 1:
+        if jax.process_count() == 1:
             from wavthruvec_pytorch_tpu.data.device_cache import (
                 DeviceResidentData,
             )
 
-            device_data = DeviceResidentData(loader.buffer, cfg)
+            device_data = DeviceResidentData(loader.buffer, cfg, mesh=mesh)
             print(f"device-resident dataset: "
-                  f"{device_data.nbytes() / 2**20:.0f} MB staged in HBM")
+                  f"{device_data.nbytes() / 2**20:.0f} MB staged in HBM"
+                  + (" (replicated over mesh)" if mesh is not None else ""))
         else:
-            print("device_resident_data ignored (multi-device/mesh run)")
+            print("device_resident_data ignored (multi-process run)")
 
     def batches(epoch_iter):
         if device_data is None:
@@ -301,7 +322,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                 yield b.pop("audiopaths"), b
         else:
             for idx in loader.epoch_indices():
-                b = device_data.batch(idx)
+                b = device_data.batch(idx, pad_to_max=loader.pad_to_max)
                 yield device_data.batch_audiopaths(idx), b
 
     try:
@@ -319,8 +340,10 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                     log_in_len = log_out_len = 0
                 if device_data is None:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                # (device-resident batches are already sharded P("data")
+                # by the gather's out_shardings when a mesh is active)
                 rng, sub = jax.random.split(rng)
                 # the lr this step applies = the PRE-step state's value.  The
                 # step donates its state arg, so the raw leaf is DELETED once
@@ -342,10 +365,18 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                 iteration += 1
                 timer.tick()
 
-                if pending is not None:
-                    emit(pending)
-                pending = (iteration, epoch, metrics, audiopaths,
-                           log_in_len, log_out_len, lr_ref)
+                pend.append({
+                    "it": iteration, "epoch": epoch,
+                    "scalars": metrics["scalars"],
+                    "audiopaths": audiopaths,
+                    "log_in_len": log_in_len, "log_out_len": log_out_len,
+                    "lr": lr_ref,
+                    "viz": ({"attn_soft_0": metrics["attn_soft_0"],
+                             "attn_hard_0": metrics["attn_hard_0"]}
+                            if is_log_step else None),
+                })
+                if len(pend) >= args.metric_flush_steps or is_log_step:
+                    flush()
 
                 if iteration % cfg.save_step == 0:
                     path = os.path.join(cfg.checkpoint_path, f"checkpoint_{iteration}")
@@ -365,11 +396,10 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
                 if args.max_steps and iteration >= args.max_steps:
                     return state
     finally:
-        if pending is not None:
-            try:  # best effort: never mask the original exception
-                emit(pending)
-            except Exception:
-                pass
+        try:  # best effort: never mask the original exception
+            flush()
+        except Exception:
+            pass
         logger.flush()
     return state
 
@@ -384,6 +414,12 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=0)
     parser.add_argument("--scalar_log_step", type=int, default=1)
+    parser.add_argument("--metric_flush_steps", type=int, default=20,
+                        help="fetch the per-step scalar metrics from the "
+                        "device in ONE stacked transfer every this many "
+                        "steps (D2H round trips are the long-bucket loop's "
+                        "bottleneck on tunneled chips; TB still gets one "
+                        "point per step)")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler trace of steps 3-8")
     parser.add_argument("--prefetch", action=argparse.BooleanOptionalAction,

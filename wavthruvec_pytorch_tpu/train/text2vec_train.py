@@ -36,6 +36,16 @@ from wavthruvec_pytorch_tpu.models.text2vec import Text2Vec
 from wavthruvec_pytorch_tpu.train.lamb import reference_lamb
 
 
+# fixed order of the packed per-step scalar vector (metrics["scalars"]):
+# the loop accumulates these [5] device buffers and fetches them in ONE
+# stacked [K, 5] transfer every K steps — on a tunneled chip each separate
+# float(metrics[k]) is a full D2H round trip, and 5-per-step round trips
+# are what inflated the long-bucket production loop to ~2.5 s/step
+# (BENCH_NOTES.md "Long-bucket production loop").
+SCALAR_KEYS = ("total_loss", "WVF_loss", "WVF_postnet_loss",
+               "duration_loss", "attn_binarization_loss")
+
+
 class T2VTrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
@@ -166,6 +176,10 @@ def train_step(
             "duration_loss": duration_loss,
             "attn_binarization_loss": bin_loss,
         }
+        # one [5] f32 buffer holding every scalar in SCALAR_KEYS order, so
+        # the loop can batch K steps of scalars into a single D2H transfer
+        metrics["scalars"] = jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in SCALAR_KEYS])
         return total, (metrics, mutated["batch_stats"], outputs)
 
     (_, (metrics, new_batch_stats, outputs)), grads = jax.value_and_grad(
