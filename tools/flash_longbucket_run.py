@@ -132,13 +132,33 @@ def main():
     for tag_name in acc.Tags().get("scalars", []):
         ev = acc.Scalars(tag_name)
         if len(ev) >= 4:
-            half = ev[len(ev) // 2:]
             if tag_name.startswith("train/"):
                 out[tag_name + "_last"] = round(float(ev[-1].value), 4)
-            sec = half[-1].wall_time - half[0].wall_time
-            steps = half[-1].step - half[0].step
-            if steps > 0 and "total" in tag_name:
-                out["steady_sec_per_step"] = round(sec / steps, 4)
+            if "total" in tag_name:
+                # the loop flushes scalars in batches, so wall_times cluster
+                # per flush: group events into flush stamps, then take the
+                # MEDIAN inter-flush step rate — robust to the one-time
+                # outliers a last-half endpoint estimate folds in (first-use
+                # program compiles, the step-100 checkpoint save)
+                import numpy as _np
+
+                stamps = []  # (wall_time, last_step) per flush cluster
+                for e in ev:
+                    if stamps and e.wall_time - stamps[-1][0] < 0.2:
+                        stamps[-1] = (e.wall_time, e.step)
+                    else:
+                        stamps.append((e.wall_time, e.step))
+                rates = [
+                    (stamps[i + 1][0] - stamps[i][0])
+                    / max(stamps[i + 1][1] - stamps[i][1], 1)
+                    for i in range(len(stamps) - 1)
+                ]
+                if rates:
+                    out["steady_sec_per_step"] = round(
+                        float(_np.median(rates)), 4)
+                    out["flush_rate_spread"] = [
+                        round(float(_np.percentile(rates, p)), 3)
+                        for p in (10, 50, 90)]
     os.makedirs(ART, exist_ok=True)
     with open(f"{ART}/{tag}_summary.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -43,8 +43,9 @@ def _cache():
     print("devices:", jax.devices(), file=sys.stderr, flush=True)
 
 
-def build_service(max_batch: int, coalesce_wait_ms: float, tmp: str,
-                  gen_precision: str = "f32"):
+def build_synth_store(tmp: str, gen_precision: str = "f32"):
+    """Full-size random-init Synthesizer + SpeakerStore (shared with
+    tools/stream_ttfa_bench.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -102,8 +103,21 @@ def build_service(max_batch: int, coalesce_wait_ms: float, tmp: str,
                 (nprng.standard_normal((1, 128, t2v_cfg.n_feat_dim)) * 0.1
                  ).astype(np.float32))
     store = SpeakerStore(synth, spk_dir, ref_dir)
+    return synth, store
+
+
+def build_service(max_batch: int, coalesce_wait_ms: float, tmp: str,
+                  gen_precision: str = "f32", alpha: float = 1.0):
+    from wavthruvec_pytorch_tpu.infer.http_serve import SynthesisService
+
+    synth, store = build_synth_store(tmp, gen_precision)
+    # alpha scales the (random-init, ~0-valued) duration-predictor output:
+    # durations = floor((dp + 0.5) * alpha), so alpha~50 yields ~25
+    # frames/char -> ~300-500-frame (6-10 s) utterances, i.e. REALISTIC
+    # payload sizes through the exact serving path (round-4 grid cells
+    # emitted near-zero audio; VERDICT r4 ask #5)
     service = SynthesisService(
-        synth, store, alpha=1.0, max_frames=N_FRAMES,
+        synth, store, alpha=alpha, max_frames=N_FRAMES,
         max_batch=max_batch, coalesce_wait_ms=coalesce_wait_ms)
     return service
 
@@ -125,7 +139,7 @@ def run_cell(service, rate_utt_s: float, duration_s: float, seed: int = 0):
             pending.done.wait(timeout=600)
             results.append(
                 ((time.perf_counter() - t_sub) * 1e3, pending.batched,
-                 pending.error))
+                 pending.error, pending.n_samples))
 
     waiters = [threading.Thread(target=waiter, daemon=True) for _ in range(64)]
     for w in waiters:
@@ -148,6 +162,7 @@ def run_cell(service, rate_utt_s: float, duration_s: float, seed: int = 0):
 
     lats = np.array([r[0] for r in results if r[2] is None])
     batches = np.array([r[1] for r in results if r[2] is None])
+    samps = np.array([r[3] for r in results if r[2] is None])
     errs = [r for r in results if r[2] is not None]
     span = duration_s + (lats.max() / 1e3 if lats.size else 0.0)
     return {
@@ -158,6 +173,8 @@ def run_cell(service, rate_utt_s: float, duration_s: float, seed: int = 0):
         "p95_ms": round(float(np.percentile(lats, 95)), 1) if lats.size else None,
         "mean_batch": round(float(batches.mean()), 2) if batches.size else None,
         "max_batch_seen": int(batches.max()) if batches.size else None,
+        # payload evidence: mean emitted audio per utterance (16 kHz)
+        "mean_audio_s": round(float(samps.mean()) / 16000.0, 2) if samps.size else None,
     }
 
 
@@ -168,6 +185,9 @@ def main():
     ap.add_argument("--max_batch", type=int, default=32)
     ap.add_argument("--duration", type=float, default=15.0)
     ap.add_argument("--gen_precision", choices=("f32", "bf16"), default="f32")
+    ap.add_argument("--alpha", type=float, default=1.0,
+                    help="duration scale; ~50 gives realistic 6-10 s "
+                         "utterances from random-init models")
     a = ap.parse_args()
     _cache()
 
@@ -180,7 +200,8 @@ def main():
         # but build one synth per service for isolation: warm each fully.
         for wait in waits:
             service = build_service(a.max_batch, wait, tmp,
-                                    gen_precision=a.gen_precision)
+                                    gen_precision=a.gen_precision,
+                                    alpha=a.alpha)
             # progress mark for tpu_run.sh ACQ_MARK: the acquisition hang
             # can strike at the process's first device transfer, AFTER the
             # "devices:" mark (see tools/tpu_run.sh)

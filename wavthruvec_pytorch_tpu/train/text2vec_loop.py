@@ -171,6 +171,22 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Text2VecConfig
     # attention maps for the TB images emitted every log_step
     step_fn, _ = t2v.make_train_step(model, cfg, mesh=mesh, with_viz=False)
     step_fn_viz, _ = t2v.make_train_step(model, cfg, mesh=mesh)
+    # (single-process only: under multi-process the step consumes the
+    # GLOBALIZED state, whose layout exists only after restore+globalize)
+    if args.precompile and jax.process_count() == 1:
+        # AOT-compile BOTH step programs for the first batch's bucket shape
+        # before training starts.  Without this the viz variant compiles on
+        # its first log_step iteration — a multi-minute mid-training stall
+        # at long buckets that also poisons steady-rate estimates (measured:
+        # the dense N768/T3072 program's compile landed inside the 100-step
+        # run's second half and read as ~1.5 s/step of phantom overhead).
+        # lower().compile() executes nothing, so donated args are safe.
+        t0c = time.perf_counter()
+        rng0 = jax.random.key(0, impl=cfg.dropout_prng_impl)
+        step_fn.lower(state, first_j, rng0).compile()
+        step_fn_viz.lower(state, first_j, rng0).compile()
+        print(f"precompiled lean+viz step programs in "
+              f"{time.perf_counter() - t0c:.1f}s")
     if args.frozen_learning_rate:
         state = t2v.set_learning_rate(state, args.learning_rate_frozen)
 
@@ -422,6 +438,12 @@ def parse_args(argv=None):
                         "point per step)")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler trace of steps 3-8")
+    parser.add_argument("--precompile", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="AOT-compile the lean AND viz step programs for "
+                        "the first batch's shape before training (avoids a "
+                        "multi-minute stall at the first log_step iteration "
+                        "on long buckets)")
     parser.add_argument("--prefetch", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="overlap host batch assembly (padding, prior "
