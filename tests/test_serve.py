@@ -229,6 +229,30 @@ def test_serve_pcm_streaming_chunks(tmp_path):
     np.testing.assert_allclose(data, full, atol=1)
 
 
+def test_serve_stream_clips_overlong_utterance(tmp_path):
+    """A text whose duration sum EXCEEDS max_frames must stream the capped
+    audio, not crash: total_frames is the uncapped sum
+    (ops/length_regulator.expand_by_durations) while the latent buffer
+    holds only max_frames — the streaming path clips like the batched path
+    does (regression: the assert in respond_stream fired and aborted the
+    whole batch to ERR lines)."""
+    synth = _make_synth()
+    store = _mk_speakers(tmp_path, synth)
+    # alpha large enough that durations overflow the 32-frame cap
+    stdin = io.StringIO("SSB0000|abc def abcde\nQUIT\n")
+    stdout = io.BytesIO()
+    n = serve_loop(synth, store, str(tmp_path / "out"), alpha=64.0,
+                   max_frames=32, stdin=stdin, stdout=stdout, pcm=True,
+                   stream_chunk=8)
+    assert n == 1
+    raw = stdout.getvalue()
+    assert b"ERR" not in raw and b"PCMABORT" not in raw
+    blocks = _parse_pcm(raw)
+    _, data = [(h, d) for h, d in blocks if d is not None][0]
+    up = synth.v2w_cfg.total_upsample
+    assert data.shape[0] == 32 * up  # capped at max_frames of audio
+
+
 def test_line_source_coalescing_window():
     """``take(wait_s=...)`` keeps the window open for lines that arrive
     shortly after the first one, and closes early at max_n."""

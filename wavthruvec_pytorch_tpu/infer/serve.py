@@ -389,7 +389,11 @@ def serve_loop(
         streaming of preceding items — what a caller actually waited)."""
         sr = synth.v2w_cfg.sampling_rate
         up = synth.v2w_cfg.total_upsample
-        target = int(total_frames) * up
+        # total_frames is the UNCAPPED duration sum (ops/length_regulator
+        # expand_by_durations); the latent buffer only holds max_frames, so
+        # clip like the batched path does (np.minimum(n_samples, k)) —
+        # without this a text longer than max_frames crashed the stream
+        target = min(int(total_frames), latents.shape[0]) * up
         binout.write(f"PCMSTART {sr} batched={b}\n".encode())
         binout.flush()
         n_samp = 0
