@@ -45,8 +45,32 @@ from wavthruvec_pytorch_tpu.utils.logging import host_logger
 from wavthruvec_pytorch_tpu.utils.plots import plot_spectrogram
 
 
+def make_val_fn(models, cfg):
+    """Jitted eval synth + mel + L1 for one val item — ONE dispatch per
+    item instead of the eager per-op path, which costs minutes per item
+    through a TPU tunnel (same fix as text2vec_loop.make_val_fn).  jit
+    recompiles per item length; the val set is fixed across training, so
+    each distinct length compiles once (and persists in the compilation
+    cache) and every later validation is dispatch-bound."""
+
+    def run(gen_vars, feat, spk, noise, y_mel):
+        y_hat = models.gen.apply(gen_vars, feat, spk, noise, train=False)
+        y_hat_mel = mel_spectrogram(
+            y_hat[..., 0], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+            cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
+        ).transpose(0, 2, 1)
+        # reference slices the stored mel to the synthesized length
+        # (vec2wav/train.py:268-270); slice both to the static min so the
+        # in-graph L1 matches it for every length relation
+        m = min(y_mel.shape[1], y_hat_mel.shape[1])
+        err = jnp.mean(jnp.abs(y_mel[:, :m, :] - y_hat_mel[:, :m, :]))
+        return err, y_hat, y_hat_mel
+
+    return jax.jit(run)
+
+
 def validate(models, cfg, state, validset, logger, steps, max_items: int = 4,
-             mesh=None):
+             mesh=None, val_fn=None):
     """Reference validation (vec2wav/train.py:246-291, minus the stray
     pdb.set_trace): full synth, mel L1, TB audio + spectrogram figures.
 
@@ -62,24 +86,21 @@ def validate(models, cfg, state, validset, logger, steps, max_items: int = 4,
 
         state = multihost_utils.global_array_to_host_local_array(
             state, mesh, P())
+    if val_fn is None:
+        val_fn = make_val_fn(models, cfg)
+    gen_vars = {"params": state.gen_params,
+                "batch_stats": state.gen_batch_stats,
+                "spectral": state.gen_spectral}
     rng = jax.random.PRNGKey(steps)
     val_err_tot, n = 0.0, 0
     for j in range(min(len(validset), 16)):
         batch = pad_vocoder_batch([validset[j]], cfg)
         noise = jax.random.normal(jax.random.fold_in(rng, j), (1, cfg.noise_dim))
-        y_hat = models.gen.apply(
-            {"params": state.gen_params,
-             "batch_stats": state.gen_batch_stats,
-             "spectral": state.gen_spectral},
-            jnp.asarray(batch["wv_feat"]), jnp.asarray(batch["spk_emb"]),
-            noise, train=False,
-        )
-        y_hat_mel = mel_spectrogram(
-            y_hat[..., 0], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
-            cfg.hop_size, cfg.win_size, cfg.fmin, cfg.fmax_for_loss,
-        ).transpose(0, 2, 1)
-        y_mel = jnp.asarray(batch["mel_loss"])[:, : y_hat_mel.shape[1], :]
-        val_err_tot += float(jnp.mean(jnp.abs(y_mel - y_hat_mel)))
+        err, y_hat, y_hat_mel = val_fn(
+            gen_vars, jnp.asarray(batch["wv_feat"]),
+            jnp.asarray(batch["spk_emb"]), noise,
+            jnp.asarray(batch["mel_loss"]))
+        val_err_tot += float(err)
         n += 1
         if j <= max_items:
             wav = np.asarray(y_hat)[0, :, 0]
@@ -133,6 +154,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
     first_j = {k: jnp.asarray(v) for k, v in first.items()}
     models, state = v2w.init_state(cfg, jax.random.PRNGKey(cfg.seed), first_j)
     step_fn, _ = v2w.make_train_step(models, cfg, mesh=mesh)
+    val_fn = make_val_fn(models, cfg)  # jit cache shared across validations
 
     # auto-resume from the latest g_/do_ (reference: train.py:74-89)
     os.makedirs(cfg.checkpoint_path, exist_ok=True)
@@ -187,7 +209,7 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
                                   float(metrics["mel_spec_error"]), steps)
             if steps % cfg.val_step == 0 and steps != 0:
                 validate(models, cfg, state, validset, logger, steps,
-                         mesh=mesh)
+                         mesh=mesh, val_fn=val_fn)
             steps += 1
             if args.max_steps and steps >= args.max_steps:
                 # final checkpoint on bounded runs (save_step may not divide)
