@@ -28,7 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = "/tmp/multichip_demo"
-ART = "artifacts/multichip_demo"
+ART = "artifacts/multichip_demo"  # --device_resident appends "_drd"
 
 
 def _summarize_tb_full(tb_dir: str, out_json: str):
@@ -53,14 +53,15 @@ def _summarize_tb_full(tb_dir: str, out_json: str):
     return summary
 
 
-def leg_t2v(steps: int, devices: int):
+def leg_t2v(steps: int, devices: int, device_resident: bool = False):
     from wavthruvec_pytorch_tpu.config import Text2VecConfig, load_config
     from wavthruvec_pytorch_tpu.train import text2vec_loop
 
     cfg = load_config(Text2VecConfig, f"{ROOT}/text2vec_tiny.json")
     cfg = dataclasses.replace(
         cfg,
-        run_path=f"/tmp/mc_runs/text2vec_{devices}dev",
+        run_path=f"/tmp/mc_runs/text2vec_{devices}dev"
+                 + ("_drd" if device_resident else ""),
         log_seed="mc",
         epochs=10**6,
         batch_size=8,
@@ -70,6 +71,11 @@ def leg_t2v(steps: int, devices: int):
         log_step=10**9,
         save_step=10**9,
         val_step=10**9,
+        # --device_resident: the SHARDED leg assembles every batch with the
+        # on-device gather (batches emitted P("data")) while the 1-device
+        # leg keeps the host collate — matching trajectories prove the
+        # HBM-resident dataset composes with the mesh path exactly
+        device_resident_data=device_resident and devices > 1,
     )
     args = text2vec_loop.parse_args(
         ["--max_steps", str(steps), "--scalar_log_step", "1",
@@ -142,12 +148,20 @@ def main():
     p.add_argument("--v2w_steps", type=int, default=200)
     p.add_argument("--leg", default="", help="(internal) t2v|v2w child leg")
     p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--device_resident", action="store_true",
+                   help="t2v only: sharded leg uses the HBM-resident "
+                        "dataset (on-device gather, P('data') batches); "
+                        "writes to artifacts/multichip_demo_drd")
     a = p.parse_args()
+
+    global ART
+    if a.device_resident:
+        ART = ART + "_drd"
 
     if a.leg:
         # child: backend already pinned via env set by the parent
         if a.leg == "t2v":
-            leg_t2v(a.t2v_steps, a.devices)
+            leg_t2v(a.t2v_steps, a.devices, device_resident=a.device_resident)
         else:
             leg_v2w(a.v2w_steps, a.devices)
         return
@@ -159,7 +173,9 @@ def main():
         make_demo_data(ROOT, n_speakers=2, n_utts=40, frames=(24, 56), seed=5)
         print("corpus ready:", ROOT)
 
-    for leg, steps in (("t2v", a.t2v_steps), ("v2w", a.v2w_steps)):
+    legs = [("t2v", a.t2v_steps)] if a.device_resident else [
+        ("t2v", a.t2v_steps), ("v2w", a.v2w_steps)]
+    for leg, steps in legs:
         for devices in (8, 1):
             env = dict(os.environ)
             env["JAX_PLATFORMS"] = "cpu"
@@ -170,16 +186,22 @@ def main():
                    "--leg", leg, "--devices", str(devices),
                    "--t2v_steps", str(a.t2v_steps),
                    "--v2w_steps", str(a.v2w_steps)]
+            if a.device_resident:
+                cmd.append("--device_resident")
             print(f"=== {leg} on {devices} device(s) ===", flush=True)
             subprocess.run(cmd, check=True, env=env, cwd="/root/repo")
 
     summary = {
         "t2v": compare("t2v", ["train/total_loss", "train/WVF_loss",
                                "train/duration_loss"]),
-        "v2w": compare("v2w", ["training/gen_loss_total", "training/mel_spec_error"]),
         "t2v_steps": a.t2v_steps,
         "v2w_steps": a.v2w_steps,
     }
+    if a.device_resident:
+        summary["mode"] = "t2v 8dev device-resident (P('data') gather) vs 1dev host collate"
+    else:
+        summary["v2w"] = compare(
+            "v2w", ["training/gen_loss_total", "training/mel_spec_error"])
     with open(f"{ART}/summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
