@@ -348,6 +348,23 @@ def test_encoder_clamps_positions_past_table(t2v_disk_dataset):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_device_resident_data_rejects_oversized_corpus(t2v_disk_dataset,
+                                                       monkeypatch):
+    """Staging must fail fast with a sizing message, not an opaque
+    allocator error, when the corpus exceeds the HBM budget."""
+    from wavthruvec_pytorch_tpu.data.dataset import load_buffer
+    from wavthruvec_pytorch_tpu.data.device_cache import DeviceResidentData
+
+    cfg, flist, vocab = t2v_disk_dataset
+    frontend = TextFrontend.from_vocab_file(vocab)
+    buffer = load_buffer([flist], cfg, frontend, feat_root=cfg.feat_ground_truth)
+    dev = jax.devices()[0]
+    monkeypatch.setattr(type(dev), "memory_stats",
+                        lambda self: {"bytes_limit": 1024}, raising=False)
+    with pytest.raises(ValueError, match="GiB of HBM"):
+        DeviceResidentData(buffer, cfg)
+
+
 @pytest.mark.parametrize("mode", ["per_bucket", "pad_to_max", "sharded"])
 def test_device_resident_data_matches_host_collate(t2v_disk_dataset, mode):
     """HBM-resident gather (data/device_cache.py) must reproduce

@@ -87,6 +87,24 @@ class DeviceResidentData:
         in_lens = np.array([len(it["text_enc"]) for it in buffer], np.int32)
         out_lens = np.array(
             [it["feat_gt_target"].shape[0] for it in buffer], np.int32)
+        # fail fast with a sizing message BEFORE allocating: a corpus that
+        # overflows HBM would otherwise die mid-device_put with an opaque
+        # allocator error.  Estimate = the flat arrays built below.
+        est = (int(out_lens.sum()) + T_cap) * (cfg.n_feat_dim + N_cap) * 4 \
+            + (int(in_lens.sum()) + N_cap) * 4
+        limit = None
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+        except Exception:
+            pass
+        if limit and est > 0.8 * limit:
+            raise ValueError(
+                f"device_resident_data: staging this corpus needs "
+                f"~{est / 2**30:.1f} GiB of HBM (limit {limit / 2**30:.1f} "
+                f"GiB, 80% budget) — use the host data path instead "
+                f"(device_resident_data=False), or shrink "
+                f"text_buckets[-1]={N_cap} (the staged prior width).")
         # host copies drive bucket selection without any device read
         self.in_lens_host, self.out_lens_host = in_lens, out_lens
         text_off = np.zeros(n, np.int32)
