@@ -96,9 +96,9 @@ def main():
         # this 336 MB batch degrade to ~7 s on this host after the first
         # program execution (tools/upload_bench.py --with_step)
         device_resident_data=True,
-        # log_step drives the separate viz-program dispatch; on this runtime
-        # switching programs stalls ~20 s (tools/longbucket_loop_profile.py),
-        # so keep viz rare like the production default (1000) does
+        # viz images every 100 steps; both step programs AOT-precompile at
+        # loop start (--precompile default), so the first viz iteration no
+        # longer pays a compile stall
         log_step=100,
         save_step=max(50, a.steps),
         val_step=10**9,
