@@ -41,6 +41,42 @@ def test_text2vec_loop_runs_and_checkpoints(tmp_path, t2v_disk_dataset):  # noqa
 
 
 @pytest.mark.slow
+def test_t2v_batched_metric_flush_preserves_tb_content(tmp_path,
+                                                       t2v_disk_dataset):  # noqa: F811
+    """The batched [K, 5] scalar flush must leave TB content identical to
+    per-step fetching: one point per step for every tag, values equal to a
+    flush-every-step run (same seed/data), including the final partial
+    flush at loop exit."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    cfg0, flist, vocab = t2v_disk_dataset
+
+    def run(tag, flush):
+        cfg = dataclasses.replace(
+            cfg0, train_list=(flist,), vocab_path=vocab,
+            run_path=str(tmp_path / tag), log_seed="t",
+            save_step=10**9, log_step=10**9, epochs=2,
+        )
+        args = text2vec_loop.parse_args(
+            ["--max_steps", "5", "--metric_flush_steps", str(flush)])
+        text2vec_loop.main(args, cfg)
+        acc = EventAccumulator(cfg.tensorboard_logs_path)
+        acc.Reload()
+        return {t: [(e.step, e.value) for e in acc.Scalars(t)]
+                for t in acc.Tags()["scalars"]}
+
+    a = run("flush3", 3)   # 5 steps -> flushes at 3 and the final partial 2
+    b = run("flush1", 1)
+    assert set(a) == set(b) and len(a) == 5  # the 5 train/ tags
+    for t in a:
+        assert [s for s, _ in a[t]] == [1, 2, 3, 4, 5]
+        np.testing.assert_allclose([v for _, v in a[t]],
+                                   [v for _, v in b[t]], rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_vec2wav_loop_runs_and_checkpoints(tmp_path, v2w_disk_dataset):  # noqa: F811
     cfg = v2w_disk_dataset
     cfg = dataclasses.replace(
