@@ -1,6 +1,12 @@
 """Ablation timing of the Text2Vec train step at the throughput shape
 (B16, 64-text / 1024-frame buckets): which component dominates the 192 ms?
 
+Shape cap: the call lambdas close over the input arrays, which JAX inlines
+as HLO literals — above ~B16/T1024 (the [B,T,N] prior alone is 151 MB at
+T3072/N768) the tunneled compile service rejects the program with HTTP 413.
+Profile long buckets with the chained A/B tools (tools/longbucket_account.py)
+instead.
+
 Same methodology as tools/gan_profile.py: each piece is jitted standalone
 with a scalar output (scalar-fetch; null-program overhead subtracted), and
 for each module both forward-only and forward+grad are timed so the
@@ -66,9 +72,15 @@ def profile_module(name, model, variables, call, res, overhead, grad=True):
         res[f"{name}_fwd_bwd_ms"] = round(fb * 1e3, 2)
 
 
-def main(B=16, N=64, T=1024):
+def main(B=16, N=64, T=1024, dtype="float32"):
     _cache()
-    cfg = Text2VecConfig()
+    import dataclasses
+
+    # long-bucket shapes need the decoder position table to cover T and
+    # run at the production dtype (round-5: N768/T3072 bf16 ablation)
+    cfg = dataclasses.replace(
+        Text2VecConfig(), compute_dtype=dtype,
+        max_seq_len=max(3000, T), dropout=0.0)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
@@ -301,4 +313,12 @@ def main(B=16, N=64, T=1024):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=16)
+    ap.add_argument("--N", type=int, default=64)
+    ap.add_argument("--T", type=int, default=1024)
+    ap.add_argument("--dtype", default="float32")
+    a = ap.parse_args()
+    main(a.B, a.N, a.T, a.dtype)
