@@ -38,7 +38,7 @@ from wavthruvec_pytorch_tpu.infer.serve import (
     SpeakerStore,
     _NONFINITE_MSG,
     _batch_buckets,
-    _synthesize_batch,
+    _dispatch_batch,
     warmup,
 )
 
@@ -109,12 +109,24 @@ class SynthesisService:
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
 
-    def _take_batch(self):
-        reqs = [self._q.get()]
-        while reqs[0] is None:
-            if self._stop.is_set():
-                return []
+    def _take_batch(self, block: bool = True):
+        """``block=False`` drains without waiting for a first request —
+        used while an unfinalized batch is pending so its fetch is never
+        delayed behind an empty queue."""
+        if block:
             reqs = [self._q.get()]
+            while reqs[0] is None:
+                if self._stop.is_set():
+                    return []
+                reqs = [self._q.get()]
+        else:
+            try:
+                first = self._q.get_nowait()
+            except queue.Empty:
+                return []
+            if first is None:
+                return []
+            reqs = [first]
         deadline = (time.perf_counter() + self.coalesce_wait_s
                     if self.coalesce_wait_s > 0 else None)
         while len(reqs) < self.max_batch:
@@ -132,35 +144,57 @@ class SynthesisService:
                 reqs.append(r)
         return reqs
 
+    def _deliver(self, reqs, finalize):
+        try:
+            wavs, n_samples, finite_ok = finalize()
+            for i, r in enumerate(reqs):
+                # finite-output guard: eval-mode BN overflow on outlier
+                # inputs (BENCH_NOTES "Val-NaN root cause") must surface
+                # as an error, never as NaN PCM in an audio/wav response
+                if not finite_ok[i]:
+                    r.error = _NONFINITE_MSG
+                    continue
+                r.wav = np.asarray(wavs[i])
+                r.n_samples = int(n_samples[i])
+                r.batched = len(reqs)
+        except Exception as e:  # surface per request, keep serving
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+        finally:
+            self.served += len(reqs)
+            for r in reqs:
+                r.done.set()
+
     def _run(self):
+        # Double-buffered worker: dispatch batch i+1 BEFORE fetching batch
+        # i's PCM, so the ~10 MB/batch D2H (the tunneled-chip saturation
+        # bottleneck) overlaps the next batch's device execution.  With an
+        # empty queue the pending batch finalizes immediately (block=False
+        # take), so idle-load latency is unchanged.
+        prev = None  # (reqs, finalize) awaiting fetch
         while not self._stop.is_set():
-            reqs = self._take_batch()
-            if not reqs:
-                continue
-            bucket = next(b for b in self.buckets if b >= len(reqs))
-            try:
-                wavs, n_samples, finite_ok = _synthesize_batch(
-                    self.synth, self.store,
-                    [(r.speaker, r.text) for r in reqs],
-                    self.alpha, self.max_frames, pad_to=bucket,
-                )
-                for i, r in enumerate(reqs):
-                    # finite-output guard: eval-mode BN overflow on outlier
-                    # inputs (BENCH_NOTES "Val-NaN root cause") must surface
-                    # as an error, never as NaN PCM in an audio/wav response
-                    if not finite_ok[i]:
-                        r.error = _NONFINITE_MSG
-                        continue
-                    r.wav = np.asarray(wavs[i])
-                    r.n_samples = int(n_samples[i])
-                    r.batched = len(reqs)
-            except Exception as e:  # surface per request, keep serving
-                for r in reqs:
-                    r.error = f"{type(e).__name__}: {e}"
-            finally:
-                self.served += len(reqs)
-                for r in reqs:
-                    r.done.set()
+            reqs = self._take_batch(block=prev is None)
+            cur = None
+            if reqs:
+                bucket = next(b for b in self.buckets if b >= len(reqs))
+                try:
+                    fin = _dispatch_batch(
+                        self.synth, self.store,
+                        [(r.speaker, r.text) for r in reqs],
+                        self.alpha, self.max_frames, pad_to=bucket,
+                    )
+                    cur = (reqs, fin)
+                except Exception as e:  # dispatch failed: error out now
+                    for r in reqs:
+                        r.error = f"{type(e).__name__}: {e}"
+                    self.served += len(reqs)
+                    for r in reqs:
+                        r.done.set()
+            if prev is not None:
+                self._deliver(*prev)
+            prev = cur
+        if prev is not None:  # drain on shutdown
+            self._deliver(*prev)
 
 
 def make_handler(service: SynthesisService, timeout_s: float = 600.0):

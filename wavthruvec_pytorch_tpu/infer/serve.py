@@ -247,12 +247,18 @@ def _wav_fetch_len(max_samples: int, full_len: int) -> int:
     return min(k, full_len)
 
 
-def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
-    """One batched synthesis over parsed (spk, text) requests.  Returns
-    ([B, K] int16 PCM wavs with K >= every emitted length, [B] sample
-    counts, [B] finite-ok bools).  ``pad_to`` pads the batch (repeating
-    the last request) to a fixed bucket size so only warmed-up jit shapes
-    run; padded rows are dropped from the result.
+def _dispatch_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
+    """Dispatch one batched synthesis over parsed (spk, text) requests and
+    return a ``finalize()`` closure that performs the D2H fetches and
+    returns ([B, K] int16 PCM wavs with K >= every emitted length, [B]
+    sample counts, [B] finite-ok bools).  Splitting dispatch from fetch
+    lets the service worker double-buffer batches: batch i's ~10 MB PCM
+    fetch rides behind batch i+1's device execution instead of
+    serializing with it (the fetch is the saturation bottleneck on a
+    tunneled chip — BENCH_NOTES "Serving with REAL payloads").
+    ``pad_to`` pads the batch (repeating the last request) to a fixed
+    bucket size so only warmed-up jit shapes run; padded rows are dropped
+    from the result.
 
     Engineered for a slow host<->device link (BENCH_NOTES "Serving load";
     the tunneled chip moves ~25-40 MB/s): latents never leave the device
@@ -281,14 +287,25 @@ def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
         out["feat_postnet_output"], voc_embs,
         noise=_serve_noise(synth, len(reqs)), with_finite=True,
         keep_device=True, pcm16=True)
-    # [B]-sized fetches only, after both dispatches are in flight
-    meta = np.asarray(out["meta"])
-    total = np.clip(meta[0][:n], 0, None)
-    n_samples = total * synth.v2w_cfg.total_upsample
-    finite_ok = meta[1][:n].astype(bool) & np.asarray(wav_ok)[:n]
-    k = _wav_fetch_len(int(n_samples.max(initial=0)), pcm_dev.shape[1])
-    pcm = np.asarray(pcm_dev[:, :k])
-    return pcm[:n], np.minimum(n_samples, k), finite_ok
+
+    def finalize():
+        # [B]-sized fetches only, after both dispatches are in flight
+        meta = np.asarray(out["meta"])
+        total = np.clip(meta[0][:n], 0, None)
+        n_samples = total * synth.v2w_cfg.total_upsample
+        finite_ok = meta[1][:n].astype(bool) & np.asarray(wav_ok)[:n]
+        k = _wav_fetch_len(int(n_samples.max(initial=0)), pcm_dev.shape[1])
+        pcm = np.asarray(pcm_dev[:, :k])
+        return pcm[:n], np.minimum(n_samples, k), finite_ok
+
+    return finalize
+
+
+def _synthesize_batch(synth, store, reqs, alpha, max_frames, pad_to=None):
+    """Dispatch + fetch in one call (the non-pipelined path used by
+    ``serve_loop``); see :func:`_dispatch_batch`."""
+    return _dispatch_batch(synth, store, reqs, alpha, max_frames,
+                           pad_to=pad_to)()
 
 
 def _to_pcm16(wav: np.ndarray) -> np.ndarray:
