@@ -405,3 +405,65 @@ def test_device_resident_data_matches_host_collate(t2v_disk_dataset, mode):
                 assert shd.spec[0] == "data", (k, shd.spec)
             np.testing.assert_array_equal(
                 np.asarray(db[k]), hb[k], err_msg=k)
+
+
+def test_vocoder_device_data_matches_host_window(v2w_disk_dataset):
+    """VocoderDeviceData's on-device window gather must reproduce the host
+    path (VocoderDataset split-mode __getitem__ + pad_vocoder_batch)
+    exactly for the same (item, fstart) draws, and the loader's
+    epoch_indices must emit the same batch composition as epoch()."""
+    import copy
+
+    from wavthruvec_pytorch_tpu.data.vocoder_data import (
+        VocoderDataset,
+        VocoderLoader,
+        get_dataset_filelist,
+        pad_vocoder_batch,
+    )
+    from wavthruvec_pytorch_tpu.data.vocoder_device_cache import (
+        VocoderDeviceData,
+    )
+
+    cfg = dataclasses.replace(
+        v2w_disk_dataset, split=True, segment_size=64,
+        device_mel_target=True, device_resident_data=True)
+    train_files, _ = get_dataset_filelist(
+        cfg.input_training_file, cfg.input_validation_file)
+    ds = VocoderDataset(train_files, cfg)
+    dd = VocoderDeviceData(ds, cfg)
+    assert dd.nbytes() > 0
+    S = cfg.segment_size // cfg.total_upsample
+
+    # forced offsets: window gather vs a hand-built host item batch
+    idx = np.array([0, 3, 1], np.int32)
+    fstart = np.array([2, 0, 5], np.int32)
+    items = []
+    for i, f0 in zip(idx, fstart):
+        feat, audio, spk = ds.full_arrays(int(i))
+        T = feat.shape[0]
+        a = np.zeros(T * cfg.total_upsample, np.float32)
+        m = min(len(audio), T * cfg.total_upsample)
+        a[:m] = audio[:m]
+        w_feat = feat[f0:f0 + S]
+        w_audio = a[f0 * cfg.total_upsample:(f0 + S) * cfg.total_upsample]
+        items.append({"wv_feat": w_feat, "spk_emb": spk, "audio": w_audio,
+                      "filename": ds.files[int(i)]})
+    hb = pad_vocoder_batch(items, cfg, frame_pad=S)
+    hb.pop("filenames")
+    db = dd.batch(idx, fstart=fstart)
+    assert set(db) == set(hb)
+    for k in hb:
+        np.testing.assert_allclose(np.asarray(db[k]), hb[k], atol=1e-6,
+                                   err_msg=k)
+
+    # random draws stay within the host law: 0 <= fstart <= T - S
+    fs = dd.draw_fstarts(np.arange(len(ds)))
+    assert (fs >= 0).all()
+    assert (fs <= np.maximum(dd.t_lens_host - S, 0)).all()
+
+    # epoch_indices == epoch batch composition (same RNG stream)
+    la = VocoderLoader(ds, 2, seed=9)
+    lb = VocoderLoader(copy.copy(ds), 2, seed=9, num_workers=0)
+    names_a = [dd.batch_filenames(i) for i in la.epoch_indices()]
+    names_b = [b["filenames"] for b in lb.epoch()]
+    assert names_a == names_b

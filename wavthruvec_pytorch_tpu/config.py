@@ -286,6 +286,13 @@ class Vec2WavConfig:
     # on few-core hosts this is the difference between loader-bound and
     # compute-bound steps.
     device_mel_target: bool = False
+    # HBM-resident windowed dataset (data/vocoder_device_cache.py): stage
+    # the full corpus on-device once and window every batch with a jitted
+    # gather — per-step host work drops to drawing [B] random offsets.
+    # Requires split=True + device_mel_target=True, single-process; the
+    # measured win is on few-core hosts where per-epoch segment re-slicing
+    # dominates the B128 windowed step (BENCH_NOTES round 5).
+    device_resident_data: bool = False
 
     @property
     def tensorboard_logs_path(self) -> str:

@@ -188,6 +188,31 @@ class VocoderDataset:
                 self._spk_cache[spk] = emb
         return emb
 
+    def full_arrays(self, index: int):
+        """Un-windowed (full-length) arrays for one item: (wv_feat [T,C],
+        normalized audio [L], spk_emb [D]).  Used by VocoderDeviceData to
+        stage the corpus in HBM; non-fine-tuning only (the fine-tuning
+        branch windows precomputed mels from disk)."""
+        if self.fine_tuning:
+            raise ValueError("full_arrays: fine_tuning items window "
+                             "precomputed mels; use the host path")
+        cfg = self.cfg
+        filename = self.files[index]
+        parts = filename.split("/")
+        wav_file = os.path.join(
+            cfg.train_wav_path, parts[0], "wav", parts[1], parts[2][:-4] + ".wav"
+        )
+        audio = self._audio_cache.get(index)
+        if audio is None:
+            audio, _ = load_wav(wav_file, cfg.sampling_rate)
+            audio = normalize(audio) * 0.95
+        wv_feat = self._feat_cache.get(index)
+        if wv_feat is None:
+            wv_feat = np.asarray(
+                self.load_npy(os.path.join(cfg.feat_ground_truth, filename))
+            ).squeeze().astype(np.float32)
+        return wv_feat, audio, self._load_spk(parts[1])
+
     def __getitem__(self, index: int) -> Dict:
         cfg = self.cfg
         cached = self._item_cache.get(index)
@@ -385,6 +410,19 @@ class VocoderLoader:
                 self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
             return list(self._pool.map(self.dataset.__getitem__, [int(i) for i in idx]))
         return [self.dataset[int(i)] for i in idx]
+
+    def epoch_indices(self) -> Iterator[np.ndarray]:
+        """Per-batch item indices in the same order epoch() would emit
+        (consumes the same RNG stream — use one of the two per epoch).
+        Lets VocoderDeviceData assemble identical batch compositions
+        on-device."""
+        order = (
+            self.rng.permutation(len(self.dataset))
+            if self.shuffle
+            else np.arange(len(self.dataset))
+        )
+        for b in range(len(self)):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
 
     def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
         order = (

@@ -173,6 +173,39 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
     logger = host_logger(cfg.tensorboard_logs_path, cfg.logger_path)
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
+    # HBM-resident windowed dataset (data/vocoder_device_cache.py): stage
+    # the corpus once, window batches on-device — per-step host work drops
+    # to drawing [B] random offsets (few-core hosts are otherwise
+    # loader-bound at windowed B128, BENCH_NOTES round 5)
+    device_data = None
+    if cfg.device_resident_data:
+        if (jax.process_count() == 1 and trainset.split
+                and not args.fine_tuning and cfg.device_mel_target):
+            from wavthruvec_pytorch_tpu.data.vocoder_device_cache import (
+                VocoderDeviceData,
+            )
+
+            device_data = VocoderDeviceData(trainset, cfg, mesh=mesh)
+            print(f"device-resident dataset: "
+                  f"{device_data.nbytes() / 2**20:.0f} MB staged in HBM"
+                  + (" (replicated over mesh)" if mesh is not None else ""))
+        else:
+            print("device_resident_data ignored (needs single-process, "
+                  "split=True, no fine_tuning, device_mel_target=True)")
+
+    def batches():
+        if device_data is None:
+            for b in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
+                b.pop("filenames", None)
+                b = {k: jnp.asarray(v) for k, v in b.items()}
+                if mesh is not None:
+                    b = shard_batch(b, mesh)
+                yield b
+        else:
+            for idx in loader.epoch_indices():
+                # already device arrays, already sharded under a mesh
+                yield device_data.batch(idx)
+
     for epoch in range(max(0, last_epoch), args.training_epochs):
         start = time.time()
         print("Epoch: {}".format(epoch + 1))
@@ -182,12 +215,8 @@ def main(args: Optional[argparse.Namespace] = None, cfg: Optional[Vec2WavConfig]
             opt_g_state=v2w.set_learning_rate(state.opt_g_state, lr),
             opt_d_state=v2w.set_learning_rate(state.opt_d_state, lr),
         )
-        for batch in prefetched(loader.epoch(), depth=2, enabled=args.prefetch):
+        for batch in batches():
             start_b = time.time()
-            batch.pop("filenames", None)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
 
