@@ -33,13 +33,13 @@ the host path: each process's buffer is a filelist shard of addressable-
 only arrays (``load_buffer`` -> ``process_shard``), and a global batch
 must be assembled from per-host slices (``shard_batch``).
 
-Vec2Wav note (why there is no GAN-side variant): the GAN loader trains on
-random SEGMENTS re-sliced every epoch (data/vocoder_data.py split=True —
-8192 audio samples + ~25 latent frames per item), so a B16 batch is ~2 MB
-of H2D versus the t2v long bucket's 336 MB; staging the full un-sliced
-audio corpus (320x the latent length, reference total_upsample) would cost
-~100x the per-step traffic it saves.  H2D is simply not the GAN loop's
-bottleneck (measured: BENCH_NOTES.md "GAN step decomposition").
+Vec2Wav: the GAN analogue is data/vocoder_device_cache.py — same flat
+staging, but the gather takes per-item RANDOM window offsets (the
+windowed training mode).  Round 5 first argued no GAN variant was needed
+(a windowed batch is only ~2 MB of H2D) and then measured the actual
+B128 bottleneck to be host-side segment re-slicing, which the on-device
+windowing removes (0.66-0.76 -> 0.237 s/step; BENCH_NOTES "Windowed-B128
+through the PRODUCTION loop").
 
 Semantics are identical to BucketedLoader: batch composition comes from
 BucketedLoader.epoch_indices() (same shuffle -> sort-by-text-length ->
